@@ -1,0 +1,243 @@
+"""Guided sampling loops: one fused jitted step, chunked lax.scan driver.
+
+TPU-native replacement for the reference's
+``p_sample_loop_progressive`` / ``ddim_sample_loop_progressive`` with the
+crowsonkb-fork kwargs ``skip_timesteps``, ``init_image``, ``randomize_class``,
+``cond_fn_with_grad`` (contract per SURVEY.md §2b gaussian_diffusion row;
+reference call site cgd/cgd.py:250-262).
+
+Design:
+- The *guided step* = UNet forward + p_mean_variance + jax.grad(guidance loss)
+  + conditioned update, traced into ONE XLA computation (the north-star
+  requirement, SURVEY.md §7).
+- The driver scans over contiguous chunks of the respaced schedule and emits
+  pred_xstart at chunk boundaries (save_frequency semantics) — host transfers
+  happen only at emission points, never inside the scan.
+- Static per-step metadata (guidance on/off for --reduce-clip, cutout count
+  for --progressive-cutout) is resolved *before* tracing; steps with different
+  static shapes land in different scan segments, each compiled once.
+- RNG: jax.random, folded per (step, purpose). Parity with torch RNG streams
+  is statistical, not bitwise (SURVEY.md §7 hard parts #2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterator, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cgd_tpu.diffusion.gaussian import GaussianDiffusion, PMeanVariance
+
+
+class StepMeta(NamedTuple):
+    """Static (trace-time) description of one sampler step."""
+
+    t: int  # spaced timestep index
+    guided: bool  # run CLIP guidance this step? (--reduce-clip gate)
+    cutn: int  # cutouts this step (--progressive-cutout)
+
+
+def build_step_plan(
+    num_timesteps: int,
+    skip_timesteps: int = 0,
+    reduce_clip: bool = False,
+    progressive_cutout: bool = False,
+    num_cutouts: int = 16,
+) -> List[StepMeta]:
+    """Resolve the reference's dynamic per-step Python gating into a static
+    plan (reference: cgd/cgd.py:157-175).
+
+    Semantics replicated exactly, including the `current_timestep` off-by-skip
+    quirk (SURVEY.md §3.1): the reference tracks
+    ``current_timestep = T-1 - consumed`` which only equals the sampler's
+    actual t when skip_timesteps == 0. ``progress_pct`` below uses the
+    reference's bookkeeping, not the true t, for parity.
+    """
+    total = num_timesteps
+    indices = list(range(total - skip_timesteps))[::-1]  # actual sampler t's
+    plan: List[StepMeta] = []
+    for consumed, t in enumerate(indices):
+        # Reference quirk: its `current_timestep` starts at T-1 and decrements
+        # per consumed sample; cond_fn for step k sees T-1-k.
+        ref_current = total - 1 - consumed
+        progress_pct = (total - ref_current) / total
+        guided = True
+        if reduce_clip and progress_pct < 0.7:
+            step_in_phase = int((progress_pct - 0.2) * total)
+            if step_in_phase % 4 != 0:
+                guided = False
+        if progressive_cutout:
+            if progress_pct < 0.3:
+                cutn = max(4, num_cutouts // 4)
+            elif progress_pct < 0.7:
+                cutn = max(8, num_cutouts // 2)
+            else:
+                cutn = num_cutouts
+        else:
+            cutn = num_cutouts
+        plan.append(StepMeta(t=t, guided=guided, cutn=cutn))
+    return plan
+
+
+# cond_grad_fn(rng, x, t_scalar, out: PMeanVariance, ref_timestep) -> grad like x
+CondGradFn = Callable[..., jnp.ndarray]
+# model_fn(x, t_model_float, rng, y) -> model output [B,H,W,2C]
+ModelFn = Callable[..., jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    use_ddim: bool
+    eta: float = 0.0
+    clip_denoised: bool = False
+    randomize_class: bool = False
+    num_classes: int = 1000
+
+
+def make_guided_step(
+    diffusion: GaussianDiffusion,
+    model_fn: ModelFn,
+    cond_grad_fn: Optional[CondGradFn],
+    cfg: SamplerConfig,
+):
+    """Build the fused single-step function.
+
+    Returns step(x, t: int32 scalar, ref_t: int32 scalar, y, rng)
+      -> (x_next, pred_xstart, y_next).
+    ``ref_t`` is the reference-bookkeeping timestep used by the guidance
+    blend's `fac` lookup (cgd/cgd.py:177 quirk, SURVEY.md §3.1).
+    """
+
+    def step(x, t, ref_t, y, rng):
+        r_model, r_noise, r_class, r_guide = jax.random.split(rng, 4)
+        if cfg.randomize_class and y is not None:
+            y = jax.random.randint(r_class, y.shape, 0, cfg.num_classes)
+
+        t_batch = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        model_out = model_fn(x, diffusion.model_time(t_batch), r_model, y)
+        out = diffusion.p_mean_variance(model_out, x, t_batch, clip_denoised=cfg.clip_denoised)
+
+        grad = None
+        if cond_grad_fn is not None:
+            grad = cond_grad_fn(r_guide, x, t_batch, out, ref_t)
+
+        noise = jax.random.normal(r_noise, x.shape, dtype=jnp.float32)
+        if cfg.use_ddim:
+            x_next = diffusion.ddim_sample_step(out, x, t_batch, noise, grad, eta=cfg.eta)
+        else:
+            x_next = diffusion.p_sample_step(out, x, t_batch, noise, grad)
+        return x_next, out.pred_xstart, y
+
+    return step
+
+
+def sample_loop(
+    diffusion: GaussianDiffusion,
+    model_fn: ModelFn,
+    cond_grad_fn_builder: Callable[[StepMeta], Optional[CondGradFn]],
+    shape: Tuple[int, ...],
+    rng: jax.Array,
+    cfg: SamplerConfig,
+    *,
+    skip_timesteps: int = 0,
+    init_image: Optional[jnp.ndarray] = None,
+    reduce_clip: bool = False,
+    progressive_cutout: bool = False,
+    num_cutouts: int = 16,
+    save_frequency: int = 1,
+    y_init: Optional[jnp.ndarray] = None,
+    progress_cb: Optional[Callable[[int], None]] = None,
+) -> Iterator[Tuple[int, jnp.ndarray]]:
+    """Run the full guided sampling schedule, yielding (consumed_step_index,
+    pred_xstart) at the reference's save points: every ``save_frequency``
+    steps plus the final step (cgd/cgd.py:265-270 contract).
+
+    Steps between save points with identical static metadata run inside a
+    single lax.scan; a new (guided, cutn) phase or a save point starts a new
+    segment. Compiled segment count is bounded by the number of distinct
+    static phases (≤3) times... no: segments are compiled per (length, meta)
+    signature and cached by jit, so e.g. save_frequency=1 compiles one
+    1-step scan per distinct meta, reused across all steps.
+    """
+    plan = build_step_plan(
+        diffusion.num_timesteps, skip_timesteps, reduce_clip, progressive_cutout, num_cutouts
+    )
+
+    rng, r_init = jax.random.split(rng)
+    x = jax.random.normal(r_init, shape, dtype=jnp.float32)
+    if skip_timesteps > 0:
+        base = jnp.zeros(shape, jnp.float32) if init_image is None else init_image
+        t0 = jnp.full((shape[0],), plan[0].t, dtype=jnp.int32)
+        x = diffusion.q_sample(base, t0, x)
+    elif init_image is not None:
+        t0 = jnp.full((shape[0],), plan[0].t, dtype=jnp.int32)
+        x = diffusion.q_sample(init_image, t0, x)
+
+    y = y_init
+
+    # split plan into segments: same static meta (guided, cutn), ending at
+    # save points. Save at consumed-step k where k % save_frequency == 0 ⇒
+    # segment boundaries *after* each step whose index hits the save rule.
+    save_at = set()
+    for k in range(len(plan)):
+        if k % save_frequency == 0 or k == len(plan) - 1:
+            save_at.add(k)
+
+    # jit cache keyed by (segment_len, guided, cutn)
+    scan_cache = {}
+
+    def run_segment(x, y, rng, seg: List[StepMeta], seg_start: int):
+        meta_key = (len(seg), seg[0].guided, seg[0].cutn)
+        ts = jnp.asarray([m.t for m in seg], dtype=jnp.int32)
+        ref_ts = jnp.asarray(
+            [diffusion.num_timesteps - 1 - (seg_start + i) for i in range(len(seg))],
+            dtype=jnp.int32,
+        )
+        if meta_key not in scan_cache:
+            cond_fn = cond_grad_fn_builder(seg[0]) if seg[0].guided else None
+            step = make_guided_step(diffusion, model_fn, cond_fn, cfg)
+
+            def scan_fn(carry, per_step):
+                x, y, rng = carry
+                t, ref_t = per_step
+                rng, r = jax.random.split(rng)
+                x, pred_x0, y = step(x, t, ref_t, y, r)
+                return (x, y, rng), pred_x0
+
+            @jax.jit
+            def seg_fn(x, y, rng, ts, ref_ts):
+                (x, y, rng), pred = jax.lax.scan(scan_fn, (x, y, rng), (ts, ref_ts))
+                return x, y, rng, pred[-1]
+
+            scan_cache[meta_key] = seg_fn
+        return scan_cache[meta_key](x, y, rng, ts, ref_ts)
+
+    # build segments
+    k = 0
+    n = len(plan)
+    while k < n:
+        seg = [plan[k]]
+        j = k + 1
+        while (
+            j < n
+            and plan[j].guided == plan[k].guided
+            and plan[j].cutn == plan[k].cutn
+            and (j - 1) not in save_at  # previous step was not a save point
+        ):
+            seg.append(plan[j])
+            j += 1
+        rng, r = jax.random.split(rng)
+        # y must be a concrete array for scan carry; use dummy when uncond
+        y_in = y if y is not None else jnp.zeros((shape[0],), jnp.int32)
+        x, y_out, _, pred_x0 = run_segment(x, y_in, r, seg, k)
+        if y is not None:
+            y = y_out
+        last_k = k + len(seg) - 1
+        if last_k in save_at or (k in save_at and len(seg) == 1):
+            yield last_k, pred_x0
+        if progress_cb is not None:
+            progress_cb(len(seg))
+        k = j

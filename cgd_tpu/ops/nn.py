@@ -1,0 +1,164 @@
+"""Low-level neural-net ops, TPU-first.
+
+Conventions (deliberately different from the torch reference — see SURVEY.md §7):
+- Images/activations are channels-last NHWC; conv weights are HWIO. This is
+  the layout XLA:TPU tiles best onto the MXU without transposes.
+- Matmuls/convs accumulate in float32 (``preferred_element_type``) regardless
+  of the bf16 compute dtype, then cast back — the TPU analog of the
+  reference's fp16-with-fp32-GroupNorm-islands policy (ext guided_diffusion
+  nn.py GroupNorm32, per SURVEY.md §2b).
+- Params are plain dicts of jnp arrays ("kernel"/"bias"/"scale"), pytree-native.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+# ---------------------------------------------------------------------------
+# parameter initializers
+# ---------------------------------------------------------------------------
+
+def conv_init(key, kh: int, kw: int, cin: int, cout: int, zero: bool = False, dtype=jnp.float32):
+    if zero:
+        kernel = jnp.zeros((kh, kw, cin, cout), dtype)
+    else:
+        fan_in = kh * kw * cin
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel = jax.random.uniform(key, (kh, kw, cin, cout), dtype, -bound, bound)
+    return {"kernel": kernel, "bias": jnp.zeros((cout,), dtype)}
+
+
+def dense_init(key, cin: int, cout: int, zero: bool = False, dtype=jnp.float32):
+    if zero:
+        kernel = jnp.zeros((cin, cout), dtype)
+    else:
+        bound = 1.0 / math.sqrt(cin)
+        kernel = jax.random.uniform(key, (cin, cout), dtype, -bound, bound)
+    return {"kernel": kernel, "bias": jnp.zeros((cout,), dtype)}
+
+
+def group_norm_init(channels: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((channels,), dtype), "bias": jnp.zeros((channels,), dtype)}
+
+
+def embedding_init(key, num: int, dim: int, dtype=jnp.float32):
+    return {"table": jax.random.normal(key, (num, dim), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# forward ops
+# ---------------------------------------------------------------------------
+
+def conv2d(params, x: jnp.ndarray, stride: int = 1, padding=None) -> jnp.ndarray:
+    """NHWC conv with fp32 accumulation; output cast back to x.dtype.
+
+    Default padding is symmetric k//2 per side (torch Conv2d semantics), NOT
+    XLA "SAME" — they differ for strided convs, and checkpoint parity needs
+    the torch alignment.
+    """
+    kernel = params["kernel"].astype(x.dtype)
+    if padding is None:
+        kh, kw = kernel.shape[0], kernel.shape[1]
+        padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    out = out + params["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def dense(params, x: jnp.ndarray) -> jnp.ndarray:
+    kernel = params["kernel"].astype(x.dtype)
+    out = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+    out = out + params["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def group_norm(params, x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over channels-last input, computed in float32 (GroupNorm32
+    contract: ext guided_diffusion/nn.py, SURVEY.md §2b)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    c = x32.shape[-1]
+    # Real ADM channel counts are all multiples of 32; shrink groups only for
+    # tiny test configs.
+    while c % num_groups:
+        num_groups //= 2
+    shape = x32.shape[:-1] + (num_groups, c // num_groups)
+    g = x32.reshape(shape)
+    reduce_axes = tuple(range(1, g.ndim - 2)) + (g.ndim - 1,)
+    mean = g.mean(axis=reduce_axes, keepdims=True)
+    var = g.var(axis=reduce_axes, keepdims=True)
+    g = (g - mean) * jax.lax.rsqrt(var + eps)
+    x32 = g.reshape(x32.shape)
+    x32 = x32 * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return x32.astype(orig_dtype)
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, [cos|sin] order (ADM convention).
+
+    Computed in float32; ``timesteps`` may be float (rescaled) or int.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ).astype(x.dtype) * 0.25
+
+
+def qkv_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Multi-head self-attention from a fused qkv tensor.
+
+    qkv: [B, T, 3*C] laid out as [q_heads | k_heads | v_heads] (the "new
+    attention order" canonical layout; legacy checkpoints are permuted into
+    this layout at conversion time — see cgd_tpu/convert).
+    Returns [B, T, C]. Softmax in float32; matmuls fp32-accumulated (MXU).
+    """
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
+    # ADM scales both q and k by d^-1/4 for fp16 stability; same math as 1/sqrt(d)
+    scale = 1.0 / math.sqrt(math.sqrt(d))
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k * scale, preferred_element_type=jnp.float32
+    )
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qkv.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32)
+    out = out.astype(qkv.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, t, c)

@@ -1,0 +1,138 @@
+"""Sampler loop tests: step plan gating, save-frequency yield contract,
+guided + unguided end-to-end on a tiny UNet (reference contract:
+cgd/cgd.py:241-270 and the --reduce-clip/--progressive-cutout schedules,
+cgd/cgd.py:157-175)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cgd_tpu.diffusion import make_diffusion
+from cgd_tpu.diffusion.sampler import SamplerConfig, build_step_plan, sample_loop
+from cgd_tpu.models.unet import UNetConfig, apply_unet, init_unet
+
+
+def tiny_model(num_classes=None):
+    cfg = UNetConfig(
+        image_size=16,
+        model_channels=32,
+        num_res_blocks=1,
+        attention_ds=(4,),
+        channel_mult=(1, 2),
+        num_head_channels=16,
+        num_classes=num_classes,
+    )
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+
+    def model_fn(x, t_model, rng, y):
+        return apply_unet(params, cfg, x, t_model, y)
+
+    return model_fn
+
+
+class TestStepPlan:
+    def test_plain(self):
+        plan = build_step_plan(10)
+        assert [m.t for m in plan] == list(range(9, -1, -1))
+        assert all(m.guided and m.cutn == 16 for m in plan)
+
+    def test_skip(self):
+        plan = build_step_plan(100, skip_timesteps=20)
+        assert plan[0].t == 79 and plan[-1].t == 0 and len(plan) == 80
+
+    def test_reduce_clip_gating(self):
+        # Reference: with skip = 0.2T set by reduce_clip, cond_fn sees
+        # ref_current starting at T-1; 20-70% band runs every 4th step.
+        T = 100
+        plan = build_step_plan(T, skip_timesteps=20, reduce_clip=True)
+        # consumed index k -> ref_current = T-1-k, progress = (T-ref_current)/T
+        for k, m in enumerate(plan):
+            ref_current = T - 1 - k
+            pct = (T - ref_current) / T
+            if pct < 0.7:
+                expected = int((pct - 0.2) * T) % 4 == 0
+            else:
+                expected = True
+            assert m.guided == expected, (k, pct)
+        # sanity: some steps gated off; steps past 70% reference-progress all
+        # guided (with skip=0.2T the reference's progress counter only reaches
+        # 0.8 by the last real step — the skip-offset quirk, SURVEY.md §3.1)
+        assert any(not m.guided for m in plan)
+        assert all(m.guided for m in plan[-10:])
+
+    def test_progressive_cutout(self):
+        T = 100
+        plan = build_step_plan(T, progressive_cutout=True, num_cutouts=16)
+        cutns = [m.cutn for m in plan]
+        assert cutns[0] == 4 and cutns[-1] == 16
+        assert set(cutns) == {4, 8, 16}
+        # phase boundaries at 30%/70% of reference progress
+        # pct = (k+1)/T: phase flips at pct 0.3 (k=29) and 0.7 (k=69)
+        assert cutns[28] == 4 and cutns[29] == 8 and cutns[68] == 8 and cutns[69] == 16
+
+    def test_progressive_cutout_floors(self):
+        plan = build_step_plan(10, progressive_cutout=True, num_cutouts=8)
+        assert min(m.cutn for m in plan) == 4  # max(4, 8//4)
+
+
+class TestSampleLoop:
+    def test_unguided_ddim_yields(self):
+        model_fn = tiny_model()
+        d = make_diffusion(steps=1000, timestep_respacing="ddim10")
+        cfg = SamplerConfig(use_ddim=True)
+        outs = list(
+            sample_loop(
+                d, model_fn, lambda meta: None, (1, 16, 16, 3),
+                jax.random.PRNGKey(0), cfg, save_frequency=4,
+            )
+        )
+        ks = [k for k, _ in outs]
+        assert ks == [0, 4, 8, 9]  # every 4th + final
+        for _, x0 in outs:
+            assert x0.shape == (1, 16, 16, 3)
+            assert bool(jnp.isfinite(x0).all())
+
+    def test_guided_p_sample_with_class_randomization(self):
+        model_fn = tiny_model(num_classes=10)
+        d = make_diffusion(steps=1000, timestep_respacing="20")
+        cfg = SamplerConfig(use_ddim=False, randomize_class=True, num_classes=10)
+
+        calls = []
+
+        def builder(meta):
+            def cond_grad(rng, x, t, out, ref_t):
+                calls.append(meta.cutn)
+                return -0.01 * x
+
+            return cond_grad
+
+        outs = list(
+            sample_loop(
+                d, model_fn, builder, (2, 16, 16, 3), jax.random.PRNGKey(1), cfg,
+                save_frequency=10, y_init=jnp.zeros((2,), jnp.int32),
+            )
+        )
+        assert [k for k, _ in outs] == [0, 10, 19]
+        assert all(bool(jnp.isfinite(x).all()) for _, x in outs)
+
+    def test_skip_with_init_image(self):
+        model_fn = tiny_model()
+        d = make_diffusion(steps=1000, timestep_respacing="20")
+        cfg = SamplerConfig(use_ddim=True)
+        init = jnp.full((1, 16, 16, 3), 0.5)
+        outs = list(
+            sample_loop(
+                d, model_fn, lambda m: None, (1, 16, 16, 3), jax.random.PRNGKey(2),
+                cfg, skip_timesteps=10, init_image=init, save_frequency=100,
+            )
+        )
+        # 10 steps run; only k=0 and final k=9 saved
+        assert [k for k, _ in outs] == [0, 9]
+
+    def test_deterministic_given_key(self):
+        model_fn = tiny_model()
+        d = make_diffusion(steps=1000, timestep_respacing="ddim10")
+        cfg = SamplerConfig(use_ddim=True)
+        r1 = list(sample_loop(d, model_fn, lambda m: None, (1, 16, 16, 3), jax.random.PRNGKey(7), cfg, save_frequency=100))
+        r2 = list(sample_loop(d, model_fn, lambda m: None, (1, 16, 16, 3), jax.random.PRNGKey(7), cfg, save_frequency=100))
+        np.testing.assert_allclose(np.asarray(r1[-1][1]), np.asarray(r2[-1][1]))
