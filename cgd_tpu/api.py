@@ -1,0 +1,312 @@
+"""Public API: the ``clip_guided_diffusion`` generator.
+
+Mirrors the reference's Python API surface (cgd/cgd.py:19-283): same kwargs,
+same generator contract — yields ``(batch_idx, saved_frame_path)`` per saved
+frame — same output tree, same knob semantics (including the documented
+quirks: noise-schedule override order §3.4, use_magnitude auto-on at 64px,
+reduce_clip => skip 20%).
+
+TPU-native internals: everything between prompt encoding and frame emission
+is jitted JAX (segmented lax.scan over the respaced schedule; UNet + cutouts
++ CLIP + loss gradient fused per step). Extra kwargs beyond the reference:
+
+- ``weights_mode``: "auto" (download + convert checkpoints; default) or
+  "random" (random-init weights — dev/CI/bench without network).
+- ``compute_dtype``: "bfloat16" (default; TPU MXU native) or "float32".
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cgd_tpu.diffusion import make_diffusion
+from cgd_tpu.diffusion.sampler import SamplerConfig, sample_loop
+from cgd_tpu.guidance.cutouts import make_cutouts, sample_cutout_coords
+from cgd_tpu.guidance.pipeline import (
+    GuidanceSettings,
+    make_guidance_builder,
+    normalize_weights,
+)
+from cgd_tpu.guidance.prompts import parse_prompt
+from cgd_tpu.io_utils.download import CACHE_PATH
+from cgd_tpu.io_utils.images import load_image_rgb, log_image
+from cgd_tpu.models.clip import encode_image as clip_encode_image
+from cgd_tpu.models.clip import encode_text as clip_encode_text
+from cgd_tpu.models.clip.configs import CLIP_MEAN, CLIP_STD
+from cgd_tpu.models.unet import apply_unet
+from cgd_tpu.weights import resolve_clip, resolve_lpips, resolve_unet
+
+
+def _encode_text_prompt(clip_params, clip_cfg, txt: str, tokenizer) -> np.ndarray:
+    tokens = tokenizer.tokenize([txt], context_length=clip_cfg.text.context_length)
+    return np.asarray(clip_encode_text(clip_params, clip_cfg, jnp.asarray(tokens)))
+
+
+def _encode_image_prompt(
+    clip_params, clip_cfg, img_path: str, weight: float, image_size: int,
+    num_cutouts: int, rng,
+) -> Tuple[np.ndarray, List[float]]:
+    """Reference contract (cgd/clip_util.py:90-101): lanczos3-downscale so the
+    *first* dim hits min(diffusion_size, W, H) (ResizeRight partial-out_shape
+    quirk), cutouts, encode, weight split across cutn."""
+    from cgd_tpu.ops.resample import resize
+    from PIL import Image
+
+    from cgd_tpu.io_utils.download import fetch
+
+    pil = Image.open(fetch(img_path)).convert("RGB")
+    arr = np.asarray(pil, dtype=np.float32) / 255.0  # HWC in [0,1]
+    smallest = min(image_size, pil.size[0], pil.size[1])
+    arr = np.asarray(resize(jnp.asarray(arr), (smallest,)))
+    h, w = arr.shape[:2]
+    spec = sample_cutout_coords(rng, num_cutouts, w, h, clip_cfg.input_resolution)
+    cuts = make_cutouts(jnp.asarray(arr)[None], spec, clip_cfg.input_resolution)
+    # reference normalizes with tf.normalize (L2!) not CLIP_NORMALIZE here —
+    # a reference quirk (cgd/clip_util.py:100); we use CLIP normalization,
+    # which is what the guidance loop uses and what CLIP expects.
+    cuts = (cuts - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+    embeds = np.asarray(clip_encode_image(clip_params, clip_cfg, cuts))
+    batch_weights = [weight / num_cutouts] * num_cutouts
+    return embeds, batch_weights
+
+
+class _FallbackTokenizer:
+    """Hash-based stand-in used ONLY with weights_mode='random' when the BPE
+    merge table is unavailable (offline dev/bench). Deterministic ids."""
+
+    def __init__(self, vocab_size: int, context_length: int = 77):
+        self.vocab_size = vocab_size
+        self.context_length = context_length
+
+    def tokenize(self, texts, context_length: int = 77, truncate: bool = False):
+        import hashlib
+
+        out = np.zeros((len(texts), context_length), np.int32)
+        for i, t in enumerate(texts):
+            ids = [
+                int(hashlib.md5(w.encode()).hexdigest(), 16) % (self.vocab_size - 3) + 1
+                for w in t.lower().split()[: context_length - 2]
+            ]
+            row = [self.vocab_size - 2] + ids + [self.vocab_size - 1]
+            out[i, : len(row)] = row
+        return out
+
+
+def clip_guided_diffusion(
+    image_size: int = 128,
+    num_cutouts: int = 16,
+    prompts: "list[str]" = [],
+    image_prompts: "list[str]" = [],
+    clip_guidance_scale: float = 1000,
+    tv_scale: float = 150,
+    range_scale: float = 50,
+    sat_scale: float = 0,
+    init_scale: float = 0,
+    batch_size: int = 1,
+    init_image: Optional[str] = None,
+    class_cond: bool = True,
+    cutout_power: float = 1.0,
+    timestep_respacing: str = "1000",
+    seed: int = 0,
+    diffusion_steps: int = 1000,
+    skip_timesteps: int = 0,
+    checkpoints_dir: str = CACHE_PATH,
+    clip_model_name: str = "ViT-B/32",
+    randomize_class: bool = True,
+    prefix_path=Path("./outputs"),
+    save_frequency: int = 25,
+    noise_schedule: str = "linear",
+    dropout: float = 0.0,
+    device: str = "",
+    wandb_project: Optional[str] = None,
+    wandb_entity: Optional[str] = None,
+    use_augs: bool = False,
+    use_magnitude: bool = False,
+    height_offset: int = 0,
+    width_offset: int = 0,
+    progress: bool = True,
+    reduce_clip: bool = False,
+    progressive_cutout: bool = False,
+    cached_cutouts: bool = False,
+    # --- TPU-framework extras ---
+    weights_mode: str = "auto",
+    compute_dtype: str = "bfloat16",
+) -> Iterator[Tuple[int, str]]:
+    def say(msg):
+        if progress:
+            print(msg)
+
+    if device:
+        say(f"Note: TPU framework ignores --device ({device!r}); using {jax.default_backend()}")
+    else:
+        say(f"Using JAX backend {jax.default_backend()} ({len(jax.devices())} device(s))")
+
+    wandb_run = None
+    if wandb_project is not None:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=wandb_project, entity=wandb_entity, config=locals())
+        except Exception as e:  # wandb not installed / offline
+            say(f"W&B unavailable ({e}); continuing without logging.")
+    else:
+        say("--wandb_project not specified. Skipping W&B integration.")
+
+    rng = jax.random.PRNGKey(seed)
+
+    if not use_magnitude and image_size == 64:
+        use_magnitude = True
+        say("Enabling magnitude for 64x64 checkpoints.")
+
+    Path(prefix_path).mkdir(parents=True, exist_ok=True)
+    Path(checkpoints_dir).mkdir(parents=True, exist_ok=True)
+
+    # ---- models -----------------------------------------------------------
+    clip_params, clip_cfg = resolve_clip(clip_model_name, checkpoints_dir, weights_mode)
+    unet_params, unet_cfg, flags = resolve_unet(
+        image_size, class_cond, checkpoints_dir, weights_mode,
+        flag_overrides={
+            "diffusion_steps": diffusion_steps,
+            "noise_schedule": noise_schedule,  # override footgun replicated (§3.4)
+            "dropout": dropout,
+        },
+    )
+
+    if weights_mode == "random":
+        tokenizer = _FallbackTokenizer(clip_cfg.text.vocab_size)
+    else:
+        from cgd_tpu.models.clip.tokenizer import get_tokenizer
+
+        tokenizer = get_tokenizer()
+
+    # ---- prompt encoding --------------------------------------------------
+    embeds_list, weights_list = [], []
+    for prompt in prompts:
+        txt, weight = parse_prompt(prompt)
+        embeds_list.append(_encode_text_prompt(clip_params, clip_cfg, txt, tokenizer))
+        weights_list.append(weight)
+    for image_prompt in image_prompts:
+        img, weight = parse_prompt(image_prompt)
+        rng, r_imgp = jax.random.split(rng)
+        emb, ws = _encode_image_prompt(
+            clip_params, clip_cfg, img, weight, image_size, num_cutouts, r_imgp
+        )
+        embeds_list.append(emb)
+        weights_list.extend(ws)
+
+    target_embeds = jnp.asarray(np.concatenate(embeds_list, axis=0))
+    weights = normalize_weights(weights_list)
+
+    if use_augs:
+        say("Augmentations enabled.")
+
+    # ---- init image -------------------------------------------------------
+    init_tensor = None
+    if init_image:
+        arr = load_image_rgb(init_image, image_size)
+        init_tensor = jnp.asarray(arr)[None].repeat(batch_size, axis=0)
+
+    # ---- diffusion process ------------------------------------------------
+    diffusion = make_diffusion(
+        steps=flags.get("diffusion_steps", 1000),
+        noise_schedule=flags.get("noise_schedule", "linear"),
+        timestep_respacing=timestep_respacing,
+        rescale_timesteps=flags.get("rescale_timesteps", False),
+        learn_sigma=flags.get("learn_sigma", True),
+    )
+
+    if reduce_clip and skip_timesteps == 0:
+        skip_timesteps = int(diffusion.num_timesteps * 0.2)
+        say(f"Skipping first {skip_timesteps} timesteps (--reduce-clip optimization)")
+
+    lpips_params = None
+    if init_tensor is not None and init_scale != 0:
+        lpips_params = resolve_lpips(checkpoints_dir, weights_mode)
+
+    # ---- cutout coordinate cache (--cached-cutouts) ------------------------
+    cached_coords = None
+    if cached_cutouts:
+        rng, r_cache = jax.random.split(rng)
+        # progressive_cutout floors at 4/8 cutouts even when num_cutouts is
+        # smaller (cgd/cgd.py:166-175) — size the cache for the max any step
+        # can request (the reference's cache breaks in that corner; we don't).
+        cache_n = max(num_cutouts, 8) if progressive_cutout else num_cutouts
+        cached_coords = sample_cutout_coords(
+            r_cache, cache_n,
+            image_size + width_offset, image_size + height_offset,
+            clip_cfg.input_resolution, cutout_power,
+        )
+
+    # ---- wire up the sampler ----------------------------------------------
+    cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    def model_fn(x, t_model, r, y):
+        return apply_unet(unet_params, unet_cfg, x, t_model, y, compute_dtype=cdtype)
+
+    settings = GuidanceSettings(
+        clip_guidance_scale=clip_guidance_scale,
+        tv_scale=tv_scale,
+        range_scale=range_scale,
+        sat_scale=sat_scale,
+        init_scale=init_scale,
+        use_magnitude=use_magnitude,
+        use_augs=use_augs,
+        cutout_power=cutout_power,
+        clip_compute_dtype=compute_dtype,
+    )
+    builder = make_guidance_builder(
+        clip_params, clip_cfg, target_embeds, weights, diffusion, settings,
+        init_image=init_tensor, lpips_params=lpips_params, cached_coords=cached_coords,
+    )
+
+    sampler_cfg = SamplerConfig(
+        use_ddim=timestep_respacing.startswith("ddim"),
+        randomize_class=(randomize_class and class_cond),
+        num_classes=1000,
+    )
+    y_init = jnp.zeros((batch_size,), jnp.int32) if class_cond else None
+    shape = (batch_size, image_size + height_offset, image_size + width_offset, 3)
+
+    bar = None
+    if progress:
+        try:
+            from tqdm.auto import tqdm
+
+            bar = tqdm(total=diffusion.num_timesteps - skip_timesteps, desc="sampling")
+        except ImportError:
+            pass
+
+    rng, r_loop = jax.random.split(rng)
+    try:
+        for step_k, pred_x0 in sample_loop(
+            diffusion, model_fn, builder, shape, r_loop, sampler_cfg,
+            skip_timesteps=skip_timesteps,
+            init_image=init_tensor,
+            reduce_clip=reduce_clip,
+            progressive_cutout=progressive_cutout,
+            num_cutouts=num_cutouts,
+            save_frequency=save_frequency,
+            y_init=y_init,
+            progress_cb=(bar.update if bar is not None else None),
+        ):
+            frames = np.asarray(pred_x0)
+            for batch_idx in range(batch_size):
+                path = log_image(frames[batch_idx], prefix_path, prompts, step_k, batch_idx)
+                if wandb_run is not None:
+                    import wandb
+
+                    wandb_run.log({"step": step_k, "image": wandb.Image(path)})
+                yield batch_idx, path
+    except KeyboardInterrupt:
+        say("Interrupted — partial frames kept.")
+    finally:
+        if bar is not None:
+            bar.close()
+        if wandb_run is not None:
+            wandb_run.finish()

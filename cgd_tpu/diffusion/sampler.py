@@ -82,10 +82,24 @@ def build_step_plan(
     return plan
 
 
-# cond_grad_fn(rng, x, t_scalar, out: PMeanVariance, ref_timestep) -> grad like x
-CondGradFn = Callable[..., jnp.ndarray]
 # model_fn(x, t_model_float, rng, y) -> model output [B,H,W,2C]
 ModelFn = Callable[..., jnp.ndarray]
+
+
+class GuidanceFns(NamedTuple):
+    """Guidance = scalar loss + gradient post-transform.
+
+    loss_fn(rng, x, out: PMeanVariance, ref_t) -> scalar. The guided step
+    differentiates loss(x, out(x)) w.r.t. x THROUGH the UNet forward —
+    matching the fork's cond_fn_with_grad semantics where pred_xstart is on
+    the tape (SURVEY.md §2b: p_sample_with_grad re-enables grad on x before
+    p_mean_variance).
+    grad_transform(grad) -> grad (e.g. the use_magnitude RMS clamp,
+    cgd/cgd.py:229-232).
+    """
+
+    loss_fn: Callable[..., jnp.ndarray]
+    grad_transform: Callable[[jnp.ndarray], jnp.ndarray]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,10 +114,12 @@ class SamplerConfig:
 def make_guided_step(
     diffusion: GaussianDiffusion,
     model_fn: ModelFn,
-    cond_grad_fn: Optional[CondGradFn],
+    guidance: Optional[GuidanceFns],
     cfg: SamplerConfig,
 ):
-    """Build the fused single-step function.
+    """Build the fused single-step function: UNet forward + p_mean_variance +
+    value_and_grad of the guidance loss (one traced computation — forward is
+    shared between the gradient tape and the sampling update).
 
     Returns step(x, t: int32 scalar, ref_t: int32 scalar, y, rng)
       -> (x_next, pred_xstart, y_next).
@@ -117,12 +133,24 @@ def make_guided_step(
             y = jax.random.randint(r_class, y.shape, 0, cfg.num_classes)
 
         t_batch = jnp.full((x.shape[0],), t, dtype=jnp.int32)
-        model_out = model_fn(x, diffusion.model_time(t_batch), r_model, y)
-        out = diffusion.p_mean_variance(model_out, x, t_batch, clip_denoised=cfg.clip_denoised)
 
-        grad = None
-        if cond_grad_fn is not None:
-            grad = cond_grad_fn(r_guide, x, t_batch, out, ref_t)
+        def forward(x_):
+            model_out = model_fn(x_, diffusion.model_time(t_batch), r_model, y)
+            return diffusion.p_mean_variance(
+                model_out, x_, t_batch, clip_denoised=cfg.clip_denoised
+            )
+
+        if guidance is not None:
+
+            def loss_and_out(x_):
+                out = forward(x_)
+                return guidance.loss_fn(r_guide, x_, out, ref_t), out
+
+            grads, out = jax.grad(loss_and_out, has_aux=True)(x)
+            grad = guidance.grad_transform(-grads)  # negative gradient
+        else:
+            out = forward(x)
+            grad = None
 
         noise = jax.random.normal(r_noise, x.shape, dtype=jnp.float32)
         if cfg.use_ddim:

@@ -73,13 +73,13 @@ def _mha(params, x: jnp.ndarray, heads: int, causal: bool) -> jnp.ndarray:
     q = q.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
     logits = logits.astype(jnp.float32) / math.sqrt(d)
     if causal:
         mask = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)
         logits = logits + mask
     w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    o = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", w, v).astype(x.dtype)
     o = o.transpose(0, 2, 1, 3).reshape(b, t, c)
     return cnn.dense(params["attn_out"], o)
 
@@ -126,7 +126,6 @@ def _apply_vit(params, cfg: VisionViTConfig, x: jnp.ndarray) -> jnp.ndarray:
     h = jax.lax.conv_general_dilated(
         x, kernel, (cfg.patch_size, cfg.patch_size), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     b, gh, gw, c = h.shape
     h = h.reshape(b, gh * gw, c)
@@ -136,7 +135,7 @@ def _apply_vit(params, cfg: VisionViTConfig, x: jnp.ndarray) -> jnp.ndarray:
     h = layer_norm(params["ln_pre"], h)
     h = _transformer(params["blocks"], h, cfg.heads, causal=False)
     h = layer_norm(params["ln_post"], h[:, 0])
-    return jnp.dot(h, params["proj"].astype(h.dtype), preferred_element_type=jnp.float32)
+    return jnp.dot(h, params["proj"].astype(h.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +154,8 @@ def _bn(params, x):
 
 
 def _init_bottleneck(key, cin, planes, stride):
+    # NOTE: stride is static structure (encoded by block position), never a
+    # pytree leaf — leaves must all be arrays for jit arguments.
     ks = jax.random.split(key, 4)
     p = {
         "conv1": {"kernel": cnn.conv_init(ks[0], 1, 1, cin, planes)["kernel"]},
@@ -163,7 +164,6 @@ def _init_bottleneck(key, cin, planes, stride):
         "bn2": _bn_init(planes),
         "conv3": {"kernel": cnn.conv_init(ks[2], 1, 1, planes, planes * 4)["kernel"]},
         "bn3": _bn_init(planes * 4),
-        "stride": stride,
     }
     if stride > 1 or cin != planes * 4:
         p["down_conv"] = {"kernel": cnn.conv_init(ks[3], 1, 1, cin, planes * 4)["kernel"]}
@@ -177,20 +177,19 @@ def _conv_nobias(p, x, stride=1):
     return jax.lax.conv_general_dilated(
         x, kernel, (stride, stride), ((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 
 
-def _apply_bottleneck(p, x):
+def _apply_bottleneck(p, x, stride: int):
     relu = jax.nn.relu
     out = relu(_bn(p["bn1"], _conv_nobias(p["conv1"], x)))
     out = relu(_bn(p["bn2"], _conv_nobias(p["conv2"], out)))
-    if p["stride"] > 1:
+    if stride > 1:
         out = cnn.avg_pool_2x(out)  # anti-aliased rect-2 downsample
     out = _bn(p["bn3"], _conv_nobias(p["conv3"], out))
     if "down_conv" in p:
         identity = x
-        if p["stride"] > 1:
+        if stride > 1:
             identity = cnn.avg_pool_2x(identity)
         identity = _bn(p["down_bn"], _conv_nobias(p["down_conv"], identity))
     else:
@@ -246,9 +245,9 @@ def _apply_attnpool(p, x: jnp.ndarray, heads: int) -> jnp.ndarray:
     q = q.reshape(b, 1, heads, d).transpose(0, 2, 1, 3)
     k = k.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
     v = v.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
     wgt = jax.nn.softmax(logits.astype(jnp.float32) / math.sqrt(d), axis=-1).astype(t.dtype)
-    o = jnp.einsum("bhqk,bhkd->bhqd", wgt, v, preferred_element_type=jnp.float32).astype(t.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", wgt, v).astype(t.dtype)
     o = o.transpose(0, 2, 1, 3).reshape(b, 1, c)[:, 0]
     return cnn.dense(p["c_proj"], o)
 
@@ -260,8 +259,9 @@ def _apply_resnet(params, cfg: VisionResNetConfig, x: jnp.ndarray) -> jnp.ndarra
     h = relu(_bn(params["bn3"], _conv_nobias(params["conv3"], h)))
     h = cnn.avg_pool_2x(h)
     for i in range(4):
-        for blk in params[f"layer{i + 1}"]:
-            h = _apply_bottleneck(blk, h)
+        layer_stride = (1, 2, 2, 2)[i]
+        for j, blk in enumerate(params[f"layer{i + 1}"]):
+            h = _apply_bottleneck(blk, h, layer_stride if j == 0 else 1)
     return _apply_attnpool(params["attnpool"], h, cfg.heads)
 
 
@@ -290,7 +290,7 @@ def _apply_text(params, cfg: TextConfig, tokens: jnp.ndarray, compute_dtype) -> 
     eot = jnp.argmax(tokens, axis=-1)
     h = h[jnp.arange(h.shape[0]), eot]
     return jnp.dot(
-        h, params["text_projection"].astype(h.dtype), preferred_element_type=jnp.float32
+        h, params["text_projection"].astype(h.dtype)
     )
 
 

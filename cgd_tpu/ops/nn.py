@@ -3,10 +3,12 @@
 Conventions (deliberately different from the torch reference — see SURVEY.md §7):
 - Images/activations are channels-last NHWC; conv weights are HWIO. This is
   the layout XLA:TPU tiles best onto the MXU without transposes.
-- Matmuls/convs accumulate in float32 (``preferred_element_type``) regardless
-  of the bf16 compute dtype, then cast back — the TPU analog of the
-  reference's fp16-with-fp32-GroupNorm-islands policy (ext guided_diffusion
-  nn.py GroupNorm32, per SURVEY.md §2b).
+- bf16 activations ride the MXU (which accumulates partial products in fp32
+  internally); normalization and softmax run in explicit fp32 islands — the
+  TPU analog of the reference's fp16-with-fp32-GroupNorm-islands policy (ext
+  guided_diffusion nn.py GroupNorm32, per SURVEY.md §2b). We deliberately do
+  NOT pass preferred_element_type on mixed-precision ops: an f32-output conv
+  with bf16 kernels has no valid transpose under jax.grad.
 - Params are plain dicts of jnp arrays ("kernel"/"bias"/"scale"), pytree-native.
 """
 
@@ -75,7 +77,6 @@ def conv2d(params, x: jnp.ndarray, stride: int = 1, padding=None) -> jnp.ndarray
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     out = out + params["bias"].astype(jnp.float32)
     return out.astype(x.dtype)
@@ -83,7 +84,7 @@ def conv2d(params, x: jnp.ndarray, stride: int = 1, padding=None) -> jnp.ndarray
 
 def dense(params, x: jnp.ndarray) -> jnp.ndarray:
     kernel = params["kernel"].astype(x.dtype)
-    out = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+    out = jnp.dot(x, kernel)
     out = out + params["bias"].astype(jnp.float32)
     return out.astype(x.dtype)
 
@@ -155,10 +156,8 @@ def qkv_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     v = v.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
     # ADM scales both q and k by d^-1/4 for fp16 stability; same math as 1/sqrt(d)
     scale = 1.0 / math.sqrt(math.sqrt(d))
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q * scale, k * scale, preferred_element_type=jnp.float32
-    )
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k * scale)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qkv.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
     out = out.astype(qkv.dtype)
     return out.transpose(0, 2, 1, 3).reshape(b, t, c)

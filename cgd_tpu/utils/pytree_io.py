@@ -1,0 +1,54 @@
+"""Flat .npz (de)serialization for parameter pytrees.
+
+Converted checkpoints are stored as npz with '/'-joined tree paths — a
+portable, mmap-friendly format with no torch dependency at load time.
+(The reference keeps torch .pt checkpoints and loads them with torch;
+SURVEY.md §5.4 recommends a convert-once cache for the TPU rebuild.)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        if hasattr(tree, "shape"):
+            out[prefix[:-1]] = np.asarray(tree)
+        else:
+            out[prefix[:-1]] = np.asarray(tree)  # python scalars (e.g. stride)
+    return out
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    np.savez(path, **_flatten(tree))
+
+
+def load_pytree_like(path: str, template: Any) -> Any:
+    """Load an npz into the structure of ``template`` (paths must match)."""
+    data = np.load(path)
+
+    def build(sub, prefix=""):
+        if isinstance(sub, dict):
+            return {k: build(v, f"{prefix}{k}/") for k, v in sub.items()}
+        if isinstance(sub, (list, tuple)):
+            return [build(v, f"{prefix}{i}/") for i, v in enumerate(sub)]
+        key = prefix[:-1]
+        arr = data[key]
+        if hasattr(sub, "shape"):
+            if tuple(arr.shape) != tuple(sub.shape):
+                raise ValueError(f"shape mismatch at {key}: {arr.shape} vs {sub.shape}")
+            return arr
+        return sub.__class__(arr)  # python scalar leaf
+
+    return build(template)

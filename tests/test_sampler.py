@@ -8,7 +8,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from cgd_tpu.diffusion import make_diffusion
-from cgd_tpu.diffusion.sampler import SamplerConfig, build_step_plan, sample_loop
+from cgd_tpu.diffusion.sampler import (
+    GuidanceFns,
+    SamplerConfig,
+    build_step_plan,
+    sample_loop,
+)
 from cgd_tpu.models.unet import UNetConfig, apply_unet, init_unet
 
 
@@ -97,14 +102,12 @@ class TestSampleLoop:
         d = make_diffusion(steps=1000, timestep_respacing="20")
         cfg = SamplerConfig(use_ddim=False, randomize_class=True, num_classes=10)
 
-        calls = []
-
         def builder(meta):
-            def cond_grad(rng, x, t, out, ref_t):
-                calls.append(meta.cutn)
-                return -0.01 * x
+            def loss_fn(rng, x, out, ref_t):
+                # pull pred_xstart toward zero; grads flow through the UNet
+                return 0.01 * jnp.sum(out.pred_xstart**2) + 0.001 * jnp.sum(x**2)
 
-            return cond_grad
+            return GuidanceFns(loss_fn, lambda g: g)
 
         outs = list(
             sample_loop(
