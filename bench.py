@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Headline benchmark: 256px ddim250 CLIP-guided sample, wall-clock per image.
+
+BASELINE.md north star: < 15 s on one TPU v5e chip (guided steps/sec also
+reported on stderr). The graph is identical with random or converted weights
+(same architectures: 256px cond ADM UNet + ViT-B/32 CLIP, cutn=16, the
+reference default operating point), so random weights give honest timing
+without network access.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <seconds/image>, "unit": "seconds",
+   "vs_baseline": <baseline_target / value, >1 means faster than target>}
+
+Compile/warmup is excluded (steady-state serving metric); compile time goes
+to stderr.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--respace", default="ddim250")
+    ap.add_argument("--cutn", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--clip", default="ViT-B/32")
+    args = ap.parse_args()
+
+    from cgd_tpu.diffusion import make_diffusion
+    from cgd_tpu.diffusion.sampler import SamplerConfig, StepMeta, make_guided_step
+    from cgd_tpu.guidance.pipeline import GuidanceSettings, make_guidance_builder
+    from cgd_tpu.models.unet import apply_unet
+    from cgd_tpu.weights import resolve_clip, resolve_unet
+
+    log(f"devices: {jax.devices()}")
+    clip_params, clip_cfg = resolve_clip(args.clip, mode="random")
+    unet_params, unet_cfg, flags = resolve_unet(args.size, True, mode="random")
+    diffusion = make_diffusion(
+        1000, flags.get("noise_schedule", "linear"), args.respace,
+        rescale_timesteps=flags.get("rescale_timesteps", False),
+    )
+    use_ddim = args.respace.startswith("ddim")
+
+    import numpy as np
+    target = np.random.RandomState(2).randn(1, clip_cfg.embed_dim).astype(np.float32)
+    weights = np.ones((1,), np.float32)
+
+    def model_fn(params, x, t_model, rng, y):
+        return apply_unet(params["unet"], unet_cfg, x, t_model, y, compute_dtype=jnp.bfloat16)
+
+    builder = make_guidance_builder(
+        clip_cfg, target, weights, diffusion, GuidanceSettings()
+    )
+    params = {"unet": unet_params, "clip": clip_params}
+    step = make_guided_step(
+        diffusion, model_fn, builder(StepMeta(t=0, guided=True, cutn=args.cutn)),
+        SamplerConfig(use_ddim=use_ddim, randomize_class=True),
+    )
+
+    S = diffusion.num_timesteps
+    ts = jnp.arange(S - 1, -1, -1, dtype=jnp.int32)
+    ref_ts = jnp.arange(S - 1, -1, -1, dtype=jnp.int32)
+
+    @jax.jit
+    def run(params, x, y, key):
+        def body(carry, per):
+            x, y, k = carry
+            t, rt = per
+            k, r = jax.random.split(k)
+            x, _px, y = step(params, x, t, rt, y, r)
+            return (x, y, k), ()
+
+        (x, y, key), _ = jax.lax.scan(body, (x, y, key), (ts, ref_ts))
+        return x
+
+    shape = (args.batch, args.size, args.size, 3)
+    with jax.default_device(jax.devices("cpu")[0]):
+        x0 = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+        y0 = jnp.zeros((args.batch,), jnp.int32)
+
+    log(f"compiling {args.size}px {args.respace} guided loop (cutn={args.cutn})...")
+    t0 = time.time()
+    out = run(params, x0, y0, jax.random.PRNGKey(1))
+    out.block_until_ready()
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    out = run(params, x0, y0, jax.random.PRNGKey(2))
+    out.block_until_ready()
+    dt = time.time() - t0
+    per_image = dt / args.batch
+    log(f"steady-state: {dt:.2f}s total, {S / dt:.2f} guided steps/s, "
+        f"{per_image:.2f}s/image")
+
+    baseline_target = 15.0  # BASELINE.md: <15s per 256px ddim250 image on v5e
+    print(json.dumps({
+        "metric": f"{args.size}px_{args.respace}_guided_wallclock_per_image",
+        "value": round(per_image, 3),
+        "unit": "seconds",
+        "vs_baseline": round(baseline_target / per_image, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,10 @@ from cgd_tpu.weights import resolve_clip, resolve_lpips, resolve_unet
 
 def _encode_text_prompt(clip_params, clip_cfg, txt: str, tokenizer) -> np.ndarray:
     tokens = tokenizer.tokenize([txt], context_length=clip_cfg.text.context_length)
-    return np.asarray(clip_encode_text(clip_params, clip_cfg, jnp.asarray(tokens)))
+    # jit: eager per-op dispatch over a remote TPU backend costs a compile
+    # round trip per op — always run towers as single compiled programs
+    fn = jax.jit(lambda p, t: clip_encode_text(p, clip_cfg, t))
+    return np.asarray(fn(clip_params, jnp.asarray(tokens)))
 
 
 def _encode_image_prompt(
@@ -66,12 +69,16 @@ def _encode_image_prompt(
     arr = np.asarray(resize(jnp.asarray(arr), (smallest,)))
     h, w = arr.shape[:2]
     spec = sample_cutout_coords(rng, num_cutouts, w, h, clip_cfg.input_resolution)
-    cuts = make_cutouts(jnp.asarray(arr)[None], spec, clip_cfg.input_resolution)
+
     # reference normalizes with tf.normalize (L2!) not CLIP_NORMALIZE here —
     # a reference quirk (cgd/clip_util.py:100); we use CLIP normalization,
     # which is what the guidance loop uses and what CLIP expects.
-    cuts = (cuts - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
-    embeds = np.asarray(clip_encode_image(clip_params, clip_cfg, cuts))
+    def encode(p, img, sp):
+        cuts = make_cutouts(img[None], sp, clip_cfg.input_resolution)
+        cuts = (cuts - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+        return clip_encode_image(p, clip_cfg, cuts)
+
+    embeds = np.asarray(jax.jit(encode)(clip_params, jnp.asarray(arr), spec))
     batch_weights = [weight / num_cutouts] * num_cutouts
     return embeds, batch_weights
 
@@ -137,6 +144,7 @@ def clip_guided_diffusion(
     # --- TPU-framework extras ---
     weights_mode: str = "auto",
     compute_dtype: str = "bfloat16",
+    mesh=None,  # jax.sharding.Mesh: shard cutouts/batch across chips
 ) -> Iterator[Tuple[int, str]]:
     def say(msg):
         if progress:
@@ -200,7 +208,7 @@ def clip_guided_diffusion(
         embeds_list.append(emb)
         weights_list.extend(ws)
 
-    target_embeds = jnp.asarray(np.concatenate(embeds_list, axis=0))
+    target_embeds = np.concatenate(embeds_list, axis=0)  # numpy: safe closure constant
     weights = normalize_weights(weights_list)
 
     if use_augs:
@@ -242,12 +250,14 @@ def clip_guided_diffusion(
             image_size + width_offset, image_size + height_offset,
             clip_cfg.input_resolution, cutout_power,
         )
+        # numpy-ify: these become closure constants of the jitted loss
+        cached_coords = type(cached_coords)(*(np.asarray(c) for c in cached_coords))
 
     # ---- wire up the sampler ----------------------------------------------
     cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
-    def model_fn(x, t_model, r, y):
-        return apply_unet(unet_params, unet_cfg, x, t_model, y, compute_dtype=cdtype)
+    def model_fn(params, x, t_model, r, y):
+        return apply_unet(params["unet"], unet_cfg, x, t_model, y, compute_dtype=cdtype)
 
     settings = GuidanceSettings(
         clip_guidance_scale=clip_guidance_scale,
@@ -260,10 +270,21 @@ def clip_guided_diffusion(
         cutout_power=cutout_power,
         clip_compute_dtype=compute_dtype,
     )
+    if mesh is not None:
+        from cgd_tpu.parallel.mesh import shard_params_replicated
+
+        unet_params = shard_params_replicated(unet_params, mesh)
+        clip_params = shard_params_replicated(clip_params, mesh)
+
+    use_init_loss = init_tensor is not None and init_scale != 0
     builder = make_guidance_builder(
-        clip_params, clip_cfg, target_embeds, weights, diffusion, settings,
-        init_image=init_tensor, lpips_params=lpips_params, cached_coords=cached_coords,
+        clip_cfg, target_embeds, weights, diffusion, settings,
+        use_init_loss=use_init_loss, cached_coords=cached_coords, mesh=mesh,
     )
+    params = {"unet": unet_params, "clip": clip_params}
+    if use_init_loss:
+        params["lpips"] = lpips_params
+        params["init_image"] = init_tensor
 
     sampler_cfg = SamplerConfig(
         use_ddim=timestep_respacing.startswith("ddim"),
@@ -285,7 +306,7 @@ def clip_guided_diffusion(
     rng, r_loop = jax.random.split(rng)
     try:
         for step_k, pred_x0 in sample_loop(
-            diffusion, model_fn, builder, shape, r_loop, sampler_cfg,
+            diffusion, model_fn, builder, params, shape, r_loop, sampler_cfg,
             skip_timesteps=skip_timesteps,
             init_image=init_tensor,
             reduce_clip=reduce_clip,

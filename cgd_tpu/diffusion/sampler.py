@@ -82,14 +82,17 @@ def build_step_plan(
     return plan
 
 
-# model_fn(x, t_model_float, rng, y) -> model output [B,H,W,2C]
+# model_fn(params, x, t_model_float, rng, y) -> model output [B,H,W,2C].
+# ``params`` is an explicit pytree argument (NEVER a closure capture: weights
+# closed over a jitted function become inlined HLO constants — a 400MB
+# literal graph that takes minutes to trace and forever to compile).
 ModelFn = Callable[..., jnp.ndarray]
 
 
 class GuidanceFns(NamedTuple):
     """Guidance = scalar loss + gradient post-transform.
 
-    loss_fn(rng, x, out: PMeanVariance, ref_t) -> scalar. The guided step
+    loss_fn(params, rng, x, out: PMeanVariance, ref_t) -> scalar. The guided step
     differentiates loss(x, out(x)) w.r.t. x THROUGH the UNet forward —
     matching the fork's cond_fn_with_grad semantics where pred_xstart is on
     the tape (SURVEY.md §2b: p_sample_with_grad re-enables grad on x before
@@ -121,13 +124,14 @@ def make_guided_step(
     value_and_grad of the guidance loss (one traced computation — forward is
     shared between the gradient tape and the sampling update).
 
-    Returns step(x, t: int32 scalar, ref_t: int32 scalar, y, rng)
-      -> (x_next, pred_xstart, y_next).
+    Returns step(params, x, t: int32 scalar, ref_t: int32 scalar, y, rng)
+      -> (x_next, pred_xstart, y_next). ``params`` is the model/guidance
+      weight pytree, threaded as a jit argument (see ModelFn note).
     ``ref_t`` is the reference-bookkeeping timestep used by the guidance
     blend's `fac` lookup (cgd/cgd.py:177 quirk, SURVEY.md §3.1).
     """
 
-    def step(x, t, ref_t, y, rng):
+    def step(params, x, t, ref_t, y, rng):
         r_model, r_noise, r_class, r_guide = jax.random.split(rng, 4)
         if cfg.randomize_class and y is not None:
             y = jax.random.randint(r_class, y.shape, 0, cfg.num_classes)
@@ -135,7 +139,7 @@ def make_guided_step(
         t_batch = jnp.full((x.shape[0],), t, dtype=jnp.int32)
 
         def forward(x_):
-            model_out = model_fn(x_, diffusion.model_time(t_batch), r_model, y)
+            model_out = model_fn(params, x_, diffusion.model_time(t_batch), r_model, y)
             return diffusion.p_mean_variance(
                 model_out, x_, t_batch, clip_denoised=cfg.clip_denoised
             )
@@ -144,7 +148,7 @@ def make_guided_step(
 
             def loss_and_out(x_):
                 out = forward(x_)
-                return guidance.loss_fn(r_guide, x_, out, ref_t), out
+                return guidance.loss_fn(params, r_guide, x_, out, ref_t), out
 
             grads, out = jax.grad(loss_and_out, has_aux=True)(x)
             grad = guidance.grad_transform(-grads)  # negative gradient
@@ -165,7 +169,8 @@ def make_guided_step(
 def sample_loop(
     diffusion: GaussianDiffusion,
     model_fn: ModelFn,
-    cond_grad_fn_builder: Callable[[StepMeta], Optional[CondGradFn]],
+    guidance_builder,
+    params,
     shape: Tuple[int, ...],
     rng: jax.Array,
     cfg: SamplerConfig,
@@ -217,7 +222,7 @@ def sample_loop(
     # jit cache keyed by (segment_len, guided, cutn)
     scan_cache = {}
 
-    def run_segment(x, y, rng, seg: List[StepMeta], seg_start: int):
+    def run_segment(params, x, y, rng, seg: List[StepMeta], seg_start: int):
         meta_key = (len(seg), seg[0].guided, seg[0].cutn)
         ts = jnp.asarray([m.t for m in seg], dtype=jnp.int32)
         ref_ts = jnp.asarray(
@@ -225,25 +230,33 @@ def sample_loop(
             dtype=jnp.int32,
         )
         if meta_key not in scan_cache:
-            cond_fn = cond_grad_fn_builder(seg[0]) if seg[0].guided else None
-            step = make_guided_step(diffusion, model_fn, cond_fn, cfg)
+            guidance = guidance_builder(seg[0]) if seg[0].guided else None
+            step = make_guided_step(diffusion, model_fn, guidance, cfg)
 
-            def scan_fn(carry, per_step):
-                x, y, rng = carry
-                t, ref_t = per_step
-                rng, r = jax.random.split(rng)
-                x, pred_x0, y = step(x, t, ref_t, y, r)
-                return (x, y, rng), pred_x0
+            def scan_fn(params):
+                def body(carry, per_step):
+                    x, y, rng = carry
+                    t, ref_t = per_step
+                    rng, r = jax.random.split(rng)
+                    x, pred_x0, y = step(params, x, t, ref_t, y, r)
+                    return (x, y, rng), pred_x0
+
+                return body
 
             @jax.jit
-            def seg_fn(x, y, rng, ts, ref_ts):
-                (x, y, rng), pred = jax.lax.scan(scan_fn, (x, y, rng), (ts, ref_ts))
+            def seg_fn(params, x, y, rng, ts, ref_ts):
+                (x, y, rng), pred = jax.lax.scan(
+                    scan_fn(params), (x, y, rng), (ts, ref_ts)
+                )
                 return x, y, rng, pred[-1]
 
             scan_cache[meta_key] = seg_fn
-        return scan_cache[meta_key](x, y, rng, ts, ref_ts)
+        return scan_cache[meta_key](params, x, y, rng, ts, ref_ts)
 
-    # build segments
+    # build the segment list up front (pure python) so per-segment RNG keys
+    # can be split in ONE device op — eager splits inside the loop would cost
+    # a remote round trip per segment on tunneled TPU backends
+    segments = []
     k = 0
     n = len(plan)
     while k < n:
@@ -257,15 +270,18 @@ def sample_loop(
         ):
             seg.append(plan[j])
             j += 1
-        rng, r = jax.random.split(rng)
+        segments.append((k, seg))
+        k = j
+
+    seg_keys = jax.random.split(rng, max(len(segments), 1))
+    for (k, seg), r in zip(segments, seg_keys):
         # y must be a concrete array for scan carry; use dummy when uncond
         y_in = y if y is not None else jnp.zeros((shape[0],), jnp.int32)
-        x, y_out, _, pred_x0 = run_segment(x, y_in, r, seg, k)
+        x, y_out, _, pred_x0 = run_segment(params, x, y_in, r, seg, k)
         if y is not None:
             y = y_out
         last_k = k + len(seg) - 1
-        if last_k in save_at or (k in save_at and len(seg) == 1):
+        if last_k in save_at:
             yield last_k, pred_x0
         if progress_cb is not None:
             progress_cb(len(seg))
-        k = j

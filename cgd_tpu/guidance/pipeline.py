@@ -50,35 +50,47 @@ class GuidanceSettings:
 
 
 def make_guidance_builder(
-    clip_params,
     clip_cfg: CLIPConfig,
-    target_embeds: jnp.ndarray,  # [P, D] float32
+    target_embeds: jnp.ndarray,  # [P, D] float32 (small; safe to close over)
     weights: jnp.ndarray,  # [P] float32, normalized (sum |.| = 1 contract)
     diffusion: GaussianDiffusion,
     settings: GuidanceSettings,
     *,
-    init_image: Optional[jnp.ndarray] = None,  # [B,H,W,3] in [-1,1]
-    lpips_params=None,
+    use_init_loss: bool = False,
     cached_coords: Optional[CutoutSpec] = None,
+    mesh=None,
 ):
-    """Returns builder(meta: StepMeta) -> GuidanceFns for the sampler."""
-    clip_size = clip_cfg.input_resolution
-    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
-    std = jnp.asarray(CLIP_STD, jnp.float32)
-    sqrt_om = jnp.asarray(diffusion.sqrt_one_minus_alphas_cumprod)
-    compute_dtype = jnp.bfloat16 if settings.clip_compute_dtype == "bfloat16" else jnp.float32
+    """Returns builder(meta: StepMeta) -> GuidanceFns for the sampler.
 
-    use_lpips = init_image is not None and settings.init_scale != 0
-    if use_lpips and lpips_params is None:
-        raise ValueError("init_scale != 0 requires lpips_params")
+    Model weights arrive via the sampler's ``params`` pytree argument:
+    params["clip"] (CLIP tower), and when ``use_init_loss``, params["lpips"]
+    + params["init_image"] ([B,H,W,3] in [-1,1]). Only scalars/small arrays
+    are closed over — big closures become inlined HLO constants.
+
+    When ``mesh`` is given, the cutout batch is sharded across all mesh
+    devices (see cgd_tpu.parallel.mesh) — XLA then all-reduces the guidance
+    gradient over the cutout shards."""
+    clip_size = clip_cfg.input_resolution
+    # IMPORTANT: closure constants must be NUMPY, not device arrays — a
+    # device-resident constant makes MLIR lowering fetch ._value from the
+    # (possibly remote) accelerator, which is pathologically slow on
+    # tunneled backends (measured: minutes per constant).
+    mean = np.asarray(CLIP_MEAN, np.float32)
+    std = np.asarray(CLIP_STD, np.float32)
+    sqrt_om = np.asarray(diffusion.sqrt_one_minus_alphas_cumprod)
+    target_embeds = np.asarray(target_embeds, np.float32)
+    weights = np.asarray(weights, np.float32)
+    if cached_coords is not None:
+        cached_coords = CutoutSpec(*(np.asarray(a) for a in cached_coords))
+    compute_dtype = jnp.bfloat16 if settings.clip_compute_dtype == "bfloat16" else jnp.float32
 
     def builder(meta: StepMeta):
         cutn = meta.cutn
 
-        def loss_fn(rng, x, out: PMeanVariance, ref_t):
+        def loss_fn(params, rng, x, out: PMeanVariance, ref_t):
             b = x.shape[0]
             side_y, side_x = x.shape[1], x.shape[2]
-            fac = sqrt_om[ref_t]
+            fac = jnp.asarray(sqrt_om)[ref_t]
             x_in = out.pred_xstart * fac + x * (1.0 - fac)
 
             r_coords, r_augs = jax.random.split(rng)
@@ -96,8 +108,12 @@ def make_guidance_builder(
             if settings.use_augs:
                 cuts = augment_cutouts(r_augs, cuts)
             cuts = (cuts - mean) / std
+            if mesh is not None:
+                from cgd_tpu.parallel.mesh import cutout_sharding
 
-            embeds = encode_image(clip_params, clip_cfg, cuts, compute_dtype=compute_dtype)
+                cuts = jax.lax.with_sharding_constraint(cuts, cutout_sharding(mesh))
+
+            embeds = encode_image(params["clip"], clip_cfg, cuts, compute_dtype=compute_dtype)
             embeds = embeds.reshape(cutn, b, -1)
 
             # [K,B,P] distances; weighted sum over prompts, mean over cutouts
@@ -113,8 +129,12 @@ def make_guidance_builder(
             )
             if settings.sat_scale:
                 loss = loss + saturation_loss(x_in).sum() * settings.sat_scale
-            if use_lpips:
-                loss = loss + lpips_distance(lpips_params, x_in, init_image).sum() * settings.init_scale
+            if use_init_loss:
+                loss = (
+                    loss
+                    + lpips_distance(params["lpips"], x_in, params["init_image"]).sum()
+                    * settings.init_scale
+                )
             return loss
 
         def grad_transform(grad):
@@ -128,11 +148,11 @@ def make_guidance_builder(
     return builder
 
 
-def normalize_weights(weights_list) -> jnp.ndarray:
+def normalize_weights(weights_list) -> np.ndarray:
     """Reference contract (cgd/cgd.py:100-105): raise if |sum| < 1e-3, then
-    divide by |sum|."""
-    w = jnp.asarray(np.asarray(weights_list, dtype=np.float32))
+    divide by |sum|. Returns numpy (safe to close over in jitted code)."""
+    w = np.asarray(weights_list, dtype=np.float32)
     total = w.sum()
     if abs(float(total)) < 1e-3:
         raise RuntimeError("The weights must not sum to 0.")
-    return w / jnp.abs(total)
+    return w / np.abs(total)

@@ -1,0 +1,59 @@
+"""Device mesh + sharding policy.
+
+The reference is single-device (SURVEY.md §2c: no distributed code reachable
+from the sampling path); the TPU-native scale-out axes are the ones the
+workload actually exposes:
+
+- ``data``: the sample batch axis (B) — pure data parallelism;
+- ``cut``: the cutout axis (K*B) feeding CLIP's image encoder — the dominant
+  FLOPs of a guided step. Sharding the cutout batch across ICI makes XLA
+  all-reduce the guidance gradient wrt x_in (a psum over 'cut') — exactly
+  the BASELINE.json north-star layout.
+
+Everything rides jit + NamedSharding constraints: the partitioner inserts the
+collectives; no hand-written NCCL/MPI analog exists or is needed
+(SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    data: int = 1,
+) -> Mesh:
+    """1-or-2-axis mesh ('data', 'cut') over the given (default: all) devices.
+
+    ``data`` devices are assigned to the batch axis; the rest shard cutouts.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % data == 0, (n, data)
+    arr = np.asarray(devices).reshape(data, n // data)
+    return Mesh(arr, ("data", "cut"))
+
+
+def cutout_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for the [K*B, cut, cut, C] cutout batch: split the leading
+    axis over every mesh device (data axis included — cutouts of different
+    batch elements are independent work)."""
+    return NamedSharding(mesh, P(("data", "cut"), None, None, None))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for [B, H, W, C] sample tensors: batch over 'data'."""
+    return NamedSharding(mesh, P("data", None, None, None))
+
+
+def shard_params_replicated(params, mesh: Mesh):
+    """Replicate a parameter pytree across the mesh (weights fit per-chip for
+    every reference checkpoint; tensor parallelism is not needed below 512px
+    — SURVEY.md §5.7)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(params, sharding)

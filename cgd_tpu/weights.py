@@ -27,6 +27,29 @@ def _converted_path(pt_path: str) -> str:
     return pt_path + ".npz.cgd"
 
 
+def _host_init(fn):
+    """Run a random-init function on the host CPU device, then bulk-transfer
+    the pytree to the default accelerator.
+
+    Two traps on remote (tunneled) TPU backends, both hit and fixed here:
+    - eager init on the accelerator costs a per-op compile round trip
+      (hundreds of ops => tens of minutes);
+    - leaving params *committed* to the CPU device makes every jitted call
+      re-transfer the full model (seconds per step). One explicit
+      device_put to the accelerator fixes both.
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return fn()
+    with jax.default_device(cpu):
+        params = fn()
+    default = jax.devices()[0]
+    if default.platform != "cpu":
+        params = jax.device_put(params, default)
+    return params
+
+
 def resolve_unet(
     image_size: int,
     class_cond: bool,
@@ -55,13 +78,13 @@ def resolve_unet(
                 channel_mult=(1, 2), attention_ds=(2,), num_head_channels=16,
                 num_heads=1,
             )
-        return init_unet(jax.random.PRNGKey(0), cfg), cfg, flags
+        return _host_init(lambda: init_unet(jax.random.PRNGKey(0), cfg)), cfg, flags
 
     pt_path = os.path.join(checkpoints_dir, info["filename"])
     npz_path = _converted_path(pt_path)
     template = jax.eval_shape(lambda: init_unet(jax.random.PRNGKey(0), cfg))
     if os.path.exists(npz_path):
-        params = load_pytree_like(npz_path, _materialize(template))
+        params = jax.device_put(load_pytree_like(npz_path, _materialize(template)))
         return params, cfg, flags
     if not os.path.exists(pt_path):
         download(info["url"], info["filename"], checkpoints_dir)
@@ -69,7 +92,7 @@ def resolve_unet(
 
     params = convert_unet_checkpoint(pt_path, cfg)
     save_pytree(npz_path, params)
-    return params, cfg, flags
+    return jax.device_put(params), cfg, flags
 
 
 def resolve_clip(
@@ -95,7 +118,7 @@ def resolve_clip(
                 text=TextConfig(width=64, heads=2, layers=2),
                 embed_dim=64,
             )
-        return init_clip(jax.random.PRNGKey(0), cfg), cfg
+        return _host_init(lambda: init_clip(jax.random.PRNGKey(0), cfg)), cfg
 
     clip_dir = os.path.join(checkpoints_dir, "clip")
     filename = model_name.replace("/", "-") + ".pt"
@@ -103,28 +126,28 @@ def resolve_clip(
     npz_path = _converted_path(pt_path)
     template = jax.eval_shape(lambda: init_clip(jax.random.PRNGKey(0), cfg))
     if os.path.exists(npz_path):
-        return load_pytree_like(npz_path, _materialize(template)), cfg
+        return jax.device_put(load_pytree_like(npz_path, _materialize(template))), cfg
     if not os.path.exists(pt_path):
         download(CLIP_MODEL_URLS[model_name], filename, clip_dir)
     from cgd_tpu.convert.torch_clip import convert_clip_checkpoint
 
     params = convert_clip_checkpoint(pt_path, cfg)
     save_pytree(npz_path, params)
-    return params, cfg
+    return jax.device_put(params), cfg
 
 
 def resolve_lpips(checkpoints_dir: str = CACHE_PATH, mode: str = "auto"):
     if mode == "random":
-        return init_vgg_lpips(jax.random.PRNGKey(0))
+        return _host_init(lambda: init_vgg_lpips(jax.random.PRNGKey(0)))
     npz_path = os.path.join(checkpoints_dir, "lpips_vgg.npz.cgd")
     template = jax.eval_shape(lambda: init_vgg_lpips(jax.random.PRNGKey(0)))
     if os.path.exists(npz_path):
-        return load_pytree_like(npz_path, _materialize(template))
+        return jax.device_put(load_pytree_like(npz_path, _materialize(template)))
     from cgd_tpu.convert.torch_lpips import convert_lpips
 
     params = convert_lpips()
     save_pytree(npz_path, params)
-    return params
+    return jax.device_put(params)
 
 
 def _materialize(shape_tree):

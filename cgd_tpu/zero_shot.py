@@ -1,0 +1,59 @@
+"""Zero-shot ImageNet class ranking (the reference's ``imagenet_top_n``,
+cgd/clip_util.py:72-87 — defined + tested upstream though unused by the main
+sampling path; kept for API completeness).
+
+Class-name list is public ImageNet-1k metadata stored as JSON data
+(cgd_tpu/data_imagenet_classes.json)."""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=1)
+def imagenet_classes():
+    path = os.path.join(os.path.dirname(__file__), "data_imagenet_classes.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def imagenet_top_n(
+    text_encodes,
+    clip_params,
+    clip_cfg,
+    tokenizer,
+    n: int = None,
+) -> np.ndarray:
+    """Rank ImageNet classes by CLIP similarity to ``text_encodes`` [B, D].
+
+    Returns the top-n class indices (all 1000 by default), using the
+    reference's prompt engineering ("an image of a {cls}") and
+    softmax(100 * cos) scoring."""
+    from cgd_tpu.models.clip import encode_text
+
+    classes = imagenet_classes()
+    if n is None:
+        n = len(classes)
+    prompts = [f"an image of a {c}" for c in classes]
+
+    tokens = tokenizer.tokenize(prompts, context_length=clip_cfg.text.context_length,
+                                truncate=True)
+    encode = jax.jit(lambda p, t: encode_text(p, clip_cfg, t))
+    feats = []
+    for i in range(0, len(prompts), 250):  # chunk to bound memory
+        feats.append(np.asarray(encode(clip_params, jnp.asarray(tokens[i : i + 250]))))
+    feats = np.concatenate(feats, 0)
+    feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+
+    q = np.asarray(text_encodes, dtype=np.float32)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    logits = 100.0 * q @ feats.T
+    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    order = np.argsort(-np.asarray(probs), axis=-1)
+    return order[0][:n]

@@ -29,7 +29,9 @@ def tiny_model(num_classes=None):
     )
     params = init_unet(jax.random.PRNGKey(0), cfg)
 
-    def model_fn(x, t_model, rng, y):
+    # tests close over the tiny weights (CPU; constant inlining is harmless
+    # at this scale) but accept the sampler's params argument
+    def model_fn(p, x, t_model, rng, y):
         return apply_unet(params, cfg, x, t_model, y)
 
     return model_fn
@@ -87,7 +89,7 @@ class TestSampleLoop:
         cfg = SamplerConfig(use_ddim=True)
         outs = list(
             sample_loop(
-                d, model_fn, lambda meta: None, (1, 16, 16, 3),
+                d, model_fn, lambda meta: None, {}, (1, 16, 16, 3),
                 jax.random.PRNGKey(0), cfg, save_frequency=4,
             )
         )
@@ -103,7 +105,7 @@ class TestSampleLoop:
         cfg = SamplerConfig(use_ddim=False, randomize_class=True, num_classes=10)
 
         def builder(meta):
-            def loss_fn(rng, x, out, ref_t):
+            def loss_fn(p, rng, x, out, ref_t):
                 # pull pred_xstart toward zero; grads flow through the UNet
                 return 0.01 * jnp.sum(out.pred_xstart**2) + 0.001 * jnp.sum(x**2)
 
@@ -111,7 +113,7 @@ class TestSampleLoop:
 
         outs = list(
             sample_loop(
-                d, model_fn, builder, (2, 16, 16, 3), jax.random.PRNGKey(1), cfg,
+                d, model_fn, builder, {}, (2, 16, 16, 3), jax.random.PRNGKey(1), cfg,
                 save_frequency=10, y_init=jnp.zeros((2,), jnp.int32),
             )
         )
@@ -125,7 +127,7 @@ class TestSampleLoop:
         init = jnp.full((1, 16, 16, 3), 0.5)
         outs = list(
             sample_loop(
-                d, model_fn, lambda m: None, (1, 16, 16, 3), jax.random.PRNGKey(2),
+                d, model_fn, lambda m: None, {}, (1, 16, 16, 3), jax.random.PRNGKey(2),
                 cfg, skip_timesteps=10, init_image=init, save_frequency=100,
             )
         )
@@ -136,6 +138,6 @@ class TestSampleLoop:
         model_fn = tiny_model()
         d = make_diffusion(steps=1000, timestep_respacing="ddim10")
         cfg = SamplerConfig(use_ddim=True)
-        r1 = list(sample_loop(d, model_fn, lambda m: None, (1, 16, 16, 3), jax.random.PRNGKey(7), cfg, save_frequency=100))
-        r2 = list(sample_loop(d, model_fn, lambda m: None, (1, 16, 16, 3), jax.random.PRNGKey(7), cfg, save_frequency=100))
+        r1 = list(sample_loop(d, model_fn, lambda m: None, {}, (1, 16, 16, 3), jax.random.PRNGKey(7), cfg, save_frequency=100))
+        r2 = list(sample_loop(d, model_fn, lambda m: None, {}, (1, 16, 16, 3), jax.random.PRNGKey(7), cfg, save_frequency=100))
         np.testing.assert_allclose(np.asarray(r1[-1][1]), np.asarray(r2[-1][1]))
