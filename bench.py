@@ -68,9 +68,13 @@ def main():
         SamplerConfig(use_ddim=use_ddim, randomize_class=True),
     )
 
+    import numpy as np
+
     S = diffusion.num_timesteps
-    ts = jnp.arange(S - 1, -1, -1, dtype=jnp.int32)
-    ref_ts = jnp.arange(S - 1, -1, -1, dtype=jnp.int32)
+    # numpy, NOT jnp: device-resident closure constants stall MLIR lowering
+    # on tunneled backends (see cgd_tpu/diffusion/sampler.py ModelFn note)
+    ts = np.arange(S - 1, -1, -1, dtype=np.int32)
+    ref_ts = np.arange(S - 1, -1, -1, dtype=np.int32)
 
     @jax.jit
     def run(params, x, y, key):
@@ -92,12 +96,15 @@ def main():
     log(f"compiling {args.size}px {args.respace} guided loop (cutn={args.cutn})...")
     t0 = time.time()
     out = run(params, x0, y0, jax.random.PRNGKey(1))
-    out.block_until_ready()
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    # NOTE: on the tunneled axon backend block_until_ready is unreliable —
+    # force completion with a scalar fetch. This also pays the one-time
+    # first-device-to-host-fetch tax inside the warmup, not the timed region.
+    warm = float(jnp.mean(out))
+    log(f"compile+first run (fetch-forced): {time.time() - t0:.1f}s (mean={warm:.4f})")
 
     t0 = time.time()
     out = run(params, x0, y0, jax.random.PRNGKey(2))
-    out.block_until_ready()
+    _ = float(jnp.mean(out))
     dt = time.time() - t0
     per_image = dt / args.batch
     log(f"steady-state: {dt:.2f}s total, {S / dt:.2f} guided steps/s, "

@@ -145,6 +145,8 @@ def clip_guided_diffusion(
     weights_mode: str = "auto",
     compute_dtype: str = "bfloat16",
     mesh=None,  # jax.sharding.Mesh: shard cutouts/batch across chips
+    noise_file: Optional[str] = None,  # npz {"init","steps"}: recorded noise for goldens
+    async_frames: bool = False,  # native C++ background PNG writes (flush before reading!)
 ) -> Iterator[Tuple[int, str]]:
     def say(msg):
         if progress:
@@ -165,6 +167,15 @@ def clip_guided_diffusion(
             say(f"W&B unavailable ({e}); continuing without logging.")
     else:
         say("--wandb_project not specified. Skipping W&B integration.")
+
+    from cgd_tpu.validate import check_parameters
+
+    check_parameters(
+        prompts=prompts, image_prompts=image_prompts, image_size=image_size,
+        timestep_respacing=timestep_respacing, diffusion_steps=diffusion_steps,
+        clip_model_name=clip_model_name, save_frequency=save_frequency,
+        noise_schedule=noise_schedule,
+    )
 
     rng = jax.random.PRNGKey(seed)
 
@@ -303,6 +314,12 @@ def clip_guided_diffusion(
         except ImportError:
             pass
 
+    init_noise = noise_steps = None
+    if noise_file:
+        rec = np.load(noise_file)
+        init_noise = rec["init"] if "init" in rec.files else None
+        noise_steps = rec["steps"] if "steps" in rec.files else None
+
     rng, r_loop = jax.random.split(rng)
     try:
         for step_k, pred_x0 in sample_loop(
@@ -315,10 +332,12 @@ def clip_guided_diffusion(
             save_frequency=save_frequency,
             y_init=y_init,
             progress_cb=(bar.update if bar is not None else None),
+            noise_override=noise_steps,
+            init_noise=init_noise,
         ):
             frames = np.asarray(pred_x0)
             for batch_idx in range(batch_size):
-                path = log_image(frames[batch_idx], prefix_path, prompts, step_k, batch_idx)
+                path = log_image(frames[batch_idx], prefix_path, prompts, step_k, batch_idx, use_async=async_frames)
                 if wandb_run is not None:
                     import wandb
 
@@ -326,7 +345,19 @@ def clip_guided_diffusion(
                 yield batch_idx, path
     except KeyboardInterrupt:
         say("Interrupted — partial frames kept.")
+    except Exception as e:
+        # TPU-HBM analog of the reference's CUDA-OOM advice (cgd/cgd.py:274-283)
+        if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+            from cgd_tpu.validate import OOM_ADVICE
+
+            print(OOM_ADVICE)
+            print(f"(CLIP model currently: {clip_model_name})")
+        raise
     finally:
+        if async_frames:
+            from cgd_tpu.io_utils.images import flush_frames
+
+            flush_frames()
         if bar is not None:
             bar.close()
         if wandb_run is not None:

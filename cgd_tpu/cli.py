@@ -143,6 +143,7 @@ def main(argv=None):
         cached_cutouts=args.cached_cutouts,
         weights_mode=args.weights_mode,
         compute_dtype=args.compute_dtype,
+        async_frames=True,  # CLI reads frames only after the loop (ffmpeg)
     )
     list(enumerate(cgd_generator))  # drain the generator
 

@@ -131,7 +131,7 @@ def make_guided_step(
     blend's `fac` lookup (cgd/cgd.py:177 quirk, SURVEY.md §3.1).
     """
 
-    def step(params, x, t, ref_t, y, rng):
+    def step(params, x, t, ref_t, y, rng, noise_override=None):
         r_model, r_noise, r_class, r_guide = jax.random.split(rng, 4)
         if cfg.randomize_class and y is not None:
             y = jax.random.randint(r_class, y.shape, 0, cfg.num_classes)
@@ -156,7 +156,12 @@ def make_guided_step(
             out = forward(x)
             grad = None
 
-        noise = jax.random.normal(r_noise, x.shape, dtype=jnp.float32)
+        if noise_override is not None:
+            # recorded-noise escape hatch for bit-exact golden comparisons
+            # against the torch reference (SURVEY.md §7 hard parts #2)
+            noise = noise_override
+        else:
+            noise = jax.random.normal(r_noise, x.shape, dtype=jnp.float32)
         if cfg.use_ddim:
             x_next = diffusion.ddim_sample_step(out, x, t_batch, noise, grad, eta=cfg.eta)
         else:
@@ -183,6 +188,8 @@ def sample_loop(
     save_frequency: int = 1,
     y_init: Optional[jnp.ndarray] = None,
     progress_cb: Optional[Callable[[int], None]] = None,
+    noise_override=None,  # [n_steps, *shape]: recorded per-step noise (goldens)
+    init_noise=None,  # [*shape]: recorded starting noise
 ) -> Iterator[Tuple[int, jnp.ndarray]]:
     """Run the full guided sampling schedule, yielding (consumed_step_index,
     pred_xstart) at the reference's save points: every ``save_frequency``
@@ -200,7 +207,10 @@ def sample_loop(
     )
 
     rng, r_init = jax.random.split(rng)
-    x = jax.random.normal(r_init, shape, dtype=jnp.float32)
+    if init_noise is not None:
+        x = jnp.asarray(init_noise, jnp.float32)
+    else:
+        x = jax.random.normal(r_init, shape, dtype=jnp.float32)
     if skip_timesteps > 0:
         base = jnp.zeros(shape, jnp.float32) if init_image is None else init_image
         t0 = jnp.full((shape[0],), plan[0].t, dtype=jnp.int32)
@@ -223,12 +233,19 @@ def sample_loop(
     scan_cache = {}
 
     def run_segment(params, x, y, rng, seg: List[StepMeta], seg_start: int):
-        meta_key = (len(seg), seg[0].guided, seg[0].cutn)
+        has_noise = noise_override is not None
+        meta_key = (len(seg), seg[0].guided, seg[0].cutn, has_noise)
         ts = jnp.asarray([m.t for m in seg], dtype=jnp.int32)
         ref_ts = jnp.asarray(
             [diffusion.num_timesteps - 1 - (seg_start + i) for i in range(len(seg))],
             dtype=jnp.int32,
         )
+        if has_noise:
+            nz = jnp.asarray(
+                noise_override[seg_start : seg_start + len(seg)], jnp.float32
+            )
+        else:
+            nz = jnp.zeros((len(seg),) + (1,) * len(shape), jnp.float32)  # unused
         if meta_key not in scan_cache:
             guidance = guidance_builder(seg[0]) if seg[0].guided else None
             step = make_guided_step(diffusion, model_fn, guidance, cfg)
@@ -236,22 +253,25 @@ def sample_loop(
             def scan_fn(params):
                 def body(carry, per_step):
                     x, y, rng = carry
-                    t, ref_t = per_step
+                    t, ref_t, nz_k = per_step
                     rng, r = jax.random.split(rng)
-                    x, pred_x0, y = step(params, x, t, ref_t, y, r)
+                    x, pred_x0, y = step(
+                        params, x, t, ref_t, y, r,
+                        noise_override=nz_k if has_noise else None,
+                    )
                     return (x, y, rng), pred_x0
 
                 return body
 
             @jax.jit
-            def seg_fn(params, x, y, rng, ts, ref_ts):
+            def seg_fn(params, x, y, rng, ts, ref_ts, nz):
                 (x, y, rng), pred = jax.lax.scan(
-                    scan_fn(params), (x, y, rng), (ts, ref_ts)
+                    scan_fn(params), (x, y, rng), (ts, ref_ts, nz)
                 )
                 return x, y, rng, pred[-1]
 
             scan_cache[meta_key] = seg_fn
-        return scan_cache[meta_key](params, x, y, rng, ts, ref_ts)
+        return scan_cache[meta_key](params, x, y, rng, ts, ref_ts, nz)
 
     # build the segment list up front (pure python) so per-segment RNG keys
     # can be split in ONE device op — eager splits inside the loop would cost

@@ -29,14 +29,37 @@ def to_pil_image(image_hwc: np.ndarray):
     return Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8))
 
 
-def log_image(image_hwc: np.ndarray, base_path, txts: List[str], current_step: int, batch_idx: int) -> str:
+def log_image(
+    image_hwc: np.ndarray, base_path, txts: List[str], current_step: int,
+    batch_idx: int, use_async: bool = False,
+) -> str:
+    """Save a frame + current.png. With ``use_async`` the PNG encode/write
+    runs on the native C++ writer's background threads (native/
+    frame_writer.cpp) — callers must ``flush_frames()`` before reading the
+    files (the CLI does, before ffmpeg muxing)."""
     dirname = clean_and_combine_prompts(base_path, txts, batch_idx)
     os.makedirs(dirname, exist_ok=True)
     filename = os.path.join(dirname, f"{current_step:04}.png")
+    if use_async:
+        from cgd_tpu.io_utils import native_frameio
+
+        arr = np.asarray(image_hwc, dtype=np.float32)
+        u8 = (np.clip((arr + 1.0) / 2.0, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        if native_frameio.submit_png(u8, filename):
+            native_frameio.submit_png(u8, os.path.join(os.getcwd(), "current.png"))
+            return str(filename)
+        # native writer unavailable -> fall through to PIL
     pil = to_pil_image(image_hwc)
     pil.save(os.path.join(os.getcwd(), "current.png"))
     pil.save(filename)
     return str(filename)
+
+
+def flush_frames() -> None:
+    """Block until all async frame writes are durable."""
+    from cgd_tpu.io_utils import native_frameio
+
+    native_frameio.flush()
 
 
 def load_image_rgb(path_or_url, size: int) -> np.ndarray:
