@@ -147,6 +147,7 @@ def clip_guided_diffusion(
     mesh=None,  # jax.sharding.Mesh: shard cutouts/batch across chips
     noise_file: Optional[str] = None,  # npz {"init","steps"}: recorded noise for goldens
     async_frames: bool = False,  # native C++ background PNG writes (flush before reading!)
+    log_losses: bool = False,  # per-step loss lines + wandb scalars (host sync per step)
 ) -> Iterator[Tuple[int, str]]:
     def say(msg):
         if progress:
@@ -288,9 +289,26 @@ def clip_guided_diffusion(
         clip_params = shard_params_replicated(clip_params, mesh)
 
     use_init_loss = init_tensor is not None and init_scale != 0
+
+    loss_cb = None
+    if log_losses:
+        def loss_cb(log):
+            line = "\t".join(
+                f"{k}: {float(v):.3f}" for k, v in log.items() if "loss" in k.lower()
+            )
+            try:
+                from tqdm.auto import tqdm
+
+                tqdm.write(line)
+            except ImportError:
+                print(line)
+            if wandb_run is not None:
+                wandb_run.log({k: float(v) for k, v in log.items()})
+
     builder = make_guidance_builder(
         clip_cfg, target_embeds, weights, diffusion, settings,
         use_init_loss=use_init_loss, cached_coords=cached_coords, mesh=mesh,
+        loss_callback=loss_cb,
     )
     params = {"unet": unet_params, "clip": clip_params}
     if use_init_loss:

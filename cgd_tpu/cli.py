@@ -84,6 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="activation dtype on the MXU")
     p.add_argument("--profile", default=None, type=str,
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--log-losses", action="store_true",
+                   help="print per-step guidance loss lines (costs a host sync per step)")
     return p
 
 
@@ -144,6 +146,7 @@ def main(argv=None):
         weights_mode=args.weights_mode,
         compute_dtype=args.compute_dtype,
         async_frames=True,  # CLI reads frames only after the loop (ffmpeg)
+        log_losses=args.log_losses,
     )
     list(enumerate(cgd_generator))  # drain the generator
 

@@ -47,6 +47,9 @@ class GuidanceSettings:
     use_augs: bool = False
     cutout_power: float = 1.0
     clip_compute_dtype: str = "bfloat16"
+    # "auto": Pallas fused cutout kernel on TPU (single-device, no augs);
+    # einsum path otherwise. "never"/"always" force it.
+    pallas_cutouts: str = "auto"
 
 
 def make_guidance_builder(
@@ -59,6 +62,7 @@ def make_guidance_builder(
     use_init_loss: bool = False,
     cached_coords: Optional[CutoutSpec] = None,
     mesh=None,
+    loss_callback=None,  # host fn(dict of float scalars), called per guided step
 ):
     """Returns builder(meta: StepMeta) -> GuidanceFns for the sampler.
 
@@ -104,14 +108,30 @@ def make_guidance_builder(
                 spec = sample_cutout_coords(
                     r_coords, cutn, side_x, side_y, clip_size, settings.cutout_power
                 )
-            cuts = make_cutouts((x_in + 1.0) / 2.0, spec, clip_size)  # [K*B,c,c,3]
-            if settings.use_augs:
-                cuts = augment_cutouts(r_augs, cuts)
-            cuts = (cuts - mean) / std
-            if mesh is not None:
-                from cgd_tpu.parallel.mesh import cutout_sharding
+            use_pallas = settings.pallas_cutouts == "always" or (
+                settings.pallas_cutouts == "auto"
+                and jax.default_backend() == "tpu"
+                and mesh is None
+                and not settings.use_augs
+            )
+            if use_pallas:
+                from cgd_tpu.guidance.cutouts import _box_weights
+                from cgd_tpu.kernels.cutouts_pallas import fused_cutouts_normalize
 
-                cuts = jax.lax.with_sharding_constraint(cuts, cutout_sharding(mesh))
+                wy = _box_weights(spec.offset_y, spec.size, x.shape[1], clip_size)
+                wx = _box_weights(spec.offset_x, spec.size, x.shape[2], clip_size)
+                cuts = fused_cutouts_normalize(
+                    (x_in + 1.0) / 2.0, wy, wx, mean[None], std[None]
+                )
+            else:
+                cuts = make_cutouts((x_in + 1.0) / 2.0, spec, clip_size)  # [K*B,c,c,3]
+                if settings.use_augs:
+                    cuts = augment_cutouts(r_augs, cuts)
+                cuts = (cuts - mean) / std
+                if mesh is not None:
+                    from cgd_tpu.parallel.mesh import cutout_sharding
+
+                    cuts = jax.lax.with_sharding_constraint(cuts, cutout_sharding(mesh))
 
             embeds = encode_image(params["clip"], clip_cfg, cuts, compute_dtype=compute_dtype)
             embeds = embeds.reshape(cutn, b, -1)
@@ -122,19 +142,31 @@ def make_guidance_builder(
             )
             clip_losses = (dists * weights).sum(-1).mean(0)  # [B]
 
-            loss = (
-                clip_losses.sum() * settings.clip_guidance_scale
-                + range_loss(out.pred_xstart).sum() * settings.range_scale
-                + tv_loss(x_in).sum() * settings.tv_scale
-            )
+            log = {}
+            clip_total = clip_losses.sum() * settings.clip_guidance_scale
+            range_total = range_loss(out.pred_xstart).sum() * settings.range_scale
+            tv_total = tv_loss(x_in).sum() * settings.tv_scale
+            loss = clip_total + range_total + tv_total
+            log["CLIP Loss"] = clip_total
+            log["Range Loss"] = range_total
+            log["TV Loss"] = tv_total
             if settings.sat_scale:
-                loss = loss + saturation_loss(x_in).sum() * settings.sat_scale
+                sat_total = saturation_loss(x_in).sum() * settings.sat_scale
+                log["Saturation Loss"] = sat_total
+                loss = loss + sat_total
             if use_init_loss:
-                loss = (
-                    loss
-                    + lpips_distance(params["lpips"], x_in, params["init_image"]).sum()
+                init_total = (
+                    lpips_distance(params["lpips"], x_in, params["init_image"]).sum()
                     * settings.init_scale
                 )
+                log["Init VGG Loss"] = init_total
+                loss = loss + init_total
+            log["Total Loss"] = loss
+            if loss_callback is not None:
+                # per-step loss observability (reference: tqdm.write +
+                # wandb.log every step, cgd/cgd.py:234-238). Host callback —
+                # costs a device->host sync per step; opt-in.
+                jax.debug.callback(loss_callback, log)
             return loss
 
         def grad_transform(grad):
