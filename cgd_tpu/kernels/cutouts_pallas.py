@@ -10,8 +10,9 @@ separate normalize) with one kernel per (cutout, batch) grid cell:
 - CLIP mean/std normalization fuses into the epilogue.
 
 Backward (gradient wrt the image — the guidance path differentiates through
-cutouts) is the transposed pair of matmuls, also as a Pallas kernel, wired
-via custom_vjp. The box-filter weight matrices W_y/W_x are tiny and stay in
+cutouts) is the transposed pair of matmuls as plain einsums via custom_vjp
+(XLA emits these reductions well; a Pallas accumulate-across-grid version
+hit Mosaic scoped-VMEM limits at full scale). The box-filter weight matrices W_y/W_x are tiny and stay in
 plain jnp (cgd_tpu/guidance/cutouts._box_weights).
 
 Falls back to the einsum path off-TPU (pl.pallas_call with interpret=True is
@@ -42,25 +43,6 @@ def _fwd_kernel(wy_ref, wx_ref, img_ref, mean_ref, std_ref, out_ref):
         out_ref[:, :, ch] = (cut - mean_ref[0, ch]) / std_ref[0, ch]
 
 
-def _bwd_kernel(wy_ref, wx_ref, g_ref, std_ref, dimg_ref):
-    """d_img[b] += sum_k Wy[k]^T @ (g[k,b]/std) @ Wx[k]. Grid (K, B); K is the
-    reduction axis — accumulate into the output block across k iterations."""
-    k = pl.program_id(0)
-    wy = wy_ref[...]
-    wx = wx_ref[...]
-    g = g_ref[...]  # [cut, cut, C]
-    c = g.shape[-1]
-
-    @pl.when(k == 0)
-    def _():
-        dimg_ref[...] = jnp.zeros_like(dimg_ref)
-
-    for ch in range(c):
-        gch = g[:, :, ch] / std_ref[0, ch]
-        tmp = jnp.dot(wy.T, gch, preferred_element_type=jnp.float32)  # [H, cut]
-        dimg_ref[:, :, ch] += jnp.dot(tmp, wx, preferred_element_type=jnp.float32)
-
-
 def _run_fwd(wy, wx, img, mean, std, *, interpret):
     k, cut, h = wy.shape
     b, _, w, c = img.shape
@@ -82,30 +64,6 @@ def _run_fwd(wy, wx, img, mean, std, *, interpret):
     )(wy, wx, img, mean, std)
 
 
-def _run_bwd(wy, wx, g, std, img_shape, *, interpret):
-    k, cut, h = wy.shape
-    b, _, w, c = img_shape
-    g = g.reshape(k, b, cut, cut, c)
-    return pl.pallas_call(
-        _bwd_kernel,
-        grid=(k, b),
-        in_specs=[
-            pl.BlockSpec((None, cut, h), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, cut, w), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (None, None, cut, cut, c), lambda i, j: (i, j, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (None, h, w, c), lambda i, j: (j, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
-        interpret=interpret,
-    )(wy, wx, g, std)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def fused_cutouts_normalize(img, wy, wx, mean, std, interpret=False):
     """img: [B,H,W,C] in [0,1]; wy/wx: [K,cut,{H,W}] box weights;
@@ -119,8 +77,16 @@ def _fwd_rule(img, wy, wx, mean, std, interpret):
 
 
 def _bwd_rule(interpret, res, g):
+    # Backward as plain einsums (MXU matmuls): the Pallas accumulate-across-
+    # grid version hit a Mosaic scoped-VMEM limit at full scale, and XLA
+    # already emits this reduction well (~1.5ms total at 256px/cutn16).
     img_shape, wy, wx, std = res
-    dimg = _run_bwd(wy, wx, g, std, img_shape, interpret=interpret)
+    b = img_shape[0]
+    k, cut, _ = wy.shape
+    c = img_shape[-1]
+    gsc = g.reshape(k, b, cut, cut, c) / std[0]
+    tmp = jnp.einsum("kyh,kbyxc->kbhxc", wy, gsc)
+    dimg = jnp.einsum("kxw,kbhxc->bhwc", wx, tmp)
     return dimg, None, None, None, None
 
 

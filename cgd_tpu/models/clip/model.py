@@ -121,14 +121,21 @@ def _init_vit(key, cfg: VisionViTConfig, embed_dim: int):
 
 
 def _apply_vit(params, cfg: VisionViTConfig, x: jnp.ndarray) -> jnp.ndarray:
-    """x: [B, R, R, 3] normalized images -> [B, embed_dim]."""
-    kernel = params["conv1"]["kernel"].astype(x.dtype)
-    h = jax.lax.conv_general_dilated(
-        x, kernel, (cfg.patch_size, cfg.patch_size), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ).astype(x.dtype)
-    b, gh, gw, c = h.shape
-    h = h.reshape(b, gh * gw, c)
+    """x: [B, R, R, 3] normalized images -> [B, embed_dim].
+
+    Patchify is a reshape + ONE matmul rather than a strided conv: the conv's
+    input-gradient is an input-dilated transposed conv that XLA:TPU executes
+    ~7x slower than the equivalent matmul transpose (measured 23ms -> ~4ms
+    for the 16-cutout guidance backward)."""
+    p = cfg.patch_size
+    b, r1, r2, _ = x.shape
+    gh, gw = r1 // p, r2 // p
+    patches = x.reshape(b, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(b, gh * gw, p * p * 3)
+    kernel = params["conv1"]["kernel"].astype(x.dtype)  # [p, p, 3, width]
+    wmat = kernel.reshape(p * p * 3, -1)
+    h = jnp.dot(patches, wmat)
+    c = h.shape[-1]
     cls = jnp.broadcast_to(params["class_embedding"].astype(h.dtype), (b, 1, c))
     h = jnp.concatenate([cls, h], axis=1)
     h = h + params["positional_embedding"].astype(h.dtype)

@@ -78,15 +78,16 @@ def conv2d(params, x: jnp.ndarray, stride: int = 1, padding=None) -> jnp.ndarray
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    out = out + params["bias"].astype(jnp.float32)
-    return out.astype(x.dtype)
+    # bias in compute dtype: an f32 bias add would materialize a full-size
+    # f32 tensor after every conv (2x HBM traffic; measured on v5e). Matches
+    # the reference's fp16-model-with-fp16-bias behavior.
+    return out + params["bias"].astype(out.dtype)
 
 
 def dense(params, x: jnp.ndarray) -> jnp.ndarray:
     kernel = params["kernel"].astype(x.dtype)
     out = jnp.dot(x, kernel)
-    out = out + params["bias"].astype(jnp.float32)
-    return out.astype(x.dtype)
+    return out + params["bias"].astype(out.dtype)
 
 
 def group_norm(params, x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
