@@ -271,6 +271,12 @@ def clip_guided_diffusion(
     def model_fn(params, x, t_model, r, y):
         return apply_unet(params["unet"], unet_cfg, x, t_model, y, compute_dtype=cdtype)
 
+    if image_size >= 512:
+        # the guidance gradient backprops through the UNet; at 512px the
+        # saved activations approach HBM limits with large CLIP towers —
+        # rematerialize the UNet forward instead (FLOPs for memory)
+        model_fn = jax.checkpoint(model_fn, static_argnums=())
+
     settings = GuidanceSettings(
         clip_guidance_scale=clip_guidance_scale,
         tv_scale=tv_scale,

@@ -47,9 +47,10 @@ class GuidanceSettings:
     use_augs: bool = False
     cutout_power: float = 1.0
     clip_compute_dtype: str = "bfloat16"
-    # "auto": Pallas fused cutout kernel on TPU (single-device, no augs);
-    # einsum path otherwise. "never"/"always" force it.
-    pallas_cutouts: str = "auto"
+    # Pallas fused cutout kernel: "never" (default — the einsum path measures
+    # ~1.5ms/step at 256px and the kernel currently trips Mosaic scoped-VMEM
+    # at full operand sizes), "auto" (TPU single-device, no augs), "always".
+    pallas_cutouts: str = "never"
 
 
 def make_guidance_builder(
