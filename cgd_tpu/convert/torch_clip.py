@@ -125,7 +125,9 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg: CLIPConfig):
     return {"visual": visual, "text": text}
 
 
-def convert_clip_checkpoint(pt_path: str, cfg: CLIPConfig):
+def load_torch_clip_sd(pt_path: str) -> Dict[str, np.ndarray]:
+    """Load a CLIP checkpoint (TorchScript archive or plain state dict) as a
+    numpy state dict."""
     import torch
 
     try:
@@ -135,5 +137,8 @@ def convert_clip_checkpoint(pt_path: str, cfg: CLIPConfig):
         sd = torch.load(pt_path, map_location="cpu")
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
-    sd = {k: (v.float().numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
-    return convert_state_dict(sd, cfg)
+    return {k: (v.float().numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
+
+
+def convert_clip_checkpoint(pt_path: str, cfg: CLIPConfig):
+    return convert_state_dict(load_torch_clip_sd(pt_path), cfg)

@@ -91,24 +91,29 @@ def dense(params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def group_norm(params, x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
-    """GroupNorm over channels-last input, computed in float32 (GroupNorm32
-    contract: ext guided_diffusion/nn.py, SURVEY.md §2b)."""
-    orig_dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    c = x32.shape[-1]
+    """GroupNorm over channels-last input.
+
+    Statistics (mean/var/rsqrt) are computed in float32 — the numerically
+    load-bearing part of the GroupNorm32 contract (ext guided_diffusion/nn.py,
+    SURVEY.md §2b). The elementwise normalize/affine runs in the input dtype:
+    keeping it f32 would stream full-size f32 tensors through HBM on a
+    bandwidth-bound network for no accuracy benefit (per-element rounding
+    only; stats are exact either way)."""
+    c = x.shape[-1]
     # Real ADM channel counts are all multiples of 32; shrink groups only for
     # tiny test configs.
     while c % num_groups:
         num_groups //= 2
-    shape = x32.shape[:-1] + (num_groups, c // num_groups)
-    g = x32.reshape(shape)
-    reduce_axes = tuple(range(1, g.ndim - 2)) + (g.ndim - 1,)
-    mean = g.mean(axis=reduce_axes, keepdims=True)
-    var = g.var(axis=reduce_axes, keepdims=True)
-    g = (g - mean) * jax.lax.rsqrt(var + eps)
-    x32 = g.reshape(x32.shape)
-    x32 = x32 * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
-    return x32.astype(orig_dtype)
+    shape = x.shape[:-1] + (num_groups, c // num_groups)
+    g32 = x.reshape(shape).astype(jnp.float32)
+    reduce_axes = tuple(range(1, g32.ndim - 2)) + (g32.ndim - 1,)
+    mean = g32.mean(axis=reduce_axes, keepdims=True)
+    var = g32.var(axis=reduce_axes, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    # broadcast small f32 stats against the original-dtype tensor
+    g = (x.reshape(shape) - mean.astype(x.dtype)) * inv.astype(x.dtype)
+    out = g.reshape(x.shape)
+    return out * params["scale"].astype(x.dtype) + params["bias"].astype(x.dtype)
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
@@ -135,9 +140,14 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.reduce_window(
-        x.astype(jnp.float32), 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    ).astype(x.dtype) * 0.25
+    # reshape-mean rather than reduce_window: native dtype (no f32 copies of
+    # full feature maps), trivially differentiable, fuses as elementwise
+    b, h, w, c = x.shape
+    pooled = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return (
+        (pooled[:, :, 0, :, 0] + pooled[:, :, 1, :, 0] + pooled[:, :, 0, :, 1] + pooled[:, :, 1, :, 1])
+        * jnp.asarray(0.25, x.dtype)
+    )
 
 
 def qkv_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:

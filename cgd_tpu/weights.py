@@ -100,11 +100,14 @@ def resolve_clip(
     checkpoints_dir: str = CACHE_PATH,
     mode: str = "auto",
 ) -> Tuple[dict, CLIPConfig]:
+    if model_name.endswith((".pt", ".pth")):
+        # custom local checkpoint (reference contract: cgd/script_util.py:50-53)
+        return _resolve_custom_clip(model_name)
     cfg = CLIP_CONFIGS.get(model_name)
     if cfg is None:
         raise ValueError(
             f"Unknown CLIP model {model_name!r}; known: {sorted(CLIP_CONFIGS)} "
-            "(custom .pt checkpoints are converted via cgd_tpu.convert.torch_clip)"
+            "or a local .pt/.pth checkpoint path"
         )
     if mode == "random":
         if os.environ.get("CGD_TPU_DEBUG_TINY"):
@@ -132,6 +135,23 @@ def resolve_clip(
     from cgd_tpu.convert.torch_clip import convert_clip_checkpoint
 
     params = convert_clip_checkpoint(pt_path, cfg)
+    save_pytree(npz_path, params)
+    return jax.device_put(params), cfg
+
+
+def _resolve_custom_clip(pt_path: str):
+    if not os.path.exists(pt_path):
+        raise FileNotFoundError(pt_path)
+    npz_path = _converted_path(pt_path)
+    from cgd_tpu.convert.clip_config_infer import infer_clip_config
+    from cgd_tpu.convert.torch_clip import convert_state_dict, load_torch_clip_sd
+
+    sd = load_torch_clip_sd(pt_path)
+    cfg = infer_clip_config(sd, name=os.path.basename(pt_path))
+    if os.path.exists(npz_path):
+        template = jax.eval_shape(lambda: init_clip(jax.random.PRNGKey(0), cfg))
+        return jax.device_put(load_pytree_like(npz_path, template)), cfg
+    params = convert_state_dict(sd, cfg)
     save_pytree(npz_path, params)
     return jax.device_put(params), cfg
 
