@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--clip", default="ViT-B/32")
     args = ap.parse_args()
 
+    from cgd_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from cgd_tpu.diffusion import make_diffusion
     from cgd_tpu.diffusion.sampler import SamplerConfig, StepMeta, make_guided_step
     from cgd_tpu.guidance.pipeline import GuidanceSettings, make_guidance_builder

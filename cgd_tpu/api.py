@@ -149,6 +149,10 @@ def clip_guided_diffusion(
     async_frames: bool = False,  # native C++ background PNG writes (flush before reading!)
     log_losses: bool = False,  # per-step loss lines + wandb scalars (host sync per step)
 ) -> Iterator[Tuple[int, str]]:
+    from cgd_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     def say(msg):
         if progress:
             print(msg)
