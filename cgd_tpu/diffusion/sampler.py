@@ -252,23 +252,26 @@ def sample_loop(
 
             def scan_fn(params):
                 def body(carry, per_step):
-                    x, y, rng = carry
+                    x, y, rng, _last = carry
                     t, ref_t, nz_k = per_step
                     rng, r = jax.random.split(rng)
                     x, pred_x0, y = step(
                         params, x, t, ref_t, y, r,
                         noise_override=nz_k if has_noise else None,
                     )
-                    return (x, y, rng), pred_x0
+                    # carry only the latest pred_x0 — stacking per-step ys
+                    # would write every step's x0 to HBM just to keep one
+                    return (x, y, rng, pred_x0), None
 
                 return body
 
             @jax.jit
             def seg_fn(params, x, y, rng, ts, ref_ts, nz):
-                (x, y, rng), pred = jax.lax.scan(
-                    scan_fn(params), (x, y, rng), (ts, ref_ts, nz)
+                init = (x, y, rng, jnp.zeros_like(x))
+                (x, y, rng, last_pred), _ = jax.lax.scan(
+                    scan_fn(params), init, (ts, ref_ts, nz)
                 )
-                return x, y, rng, pred[-1]
+                return x, y, rng, last_pred
 
             scan_cache[meta_key] = seg_fn
         return scan_cache[meta_key](params, x, y, rng, ts, ref_ts, nz)
