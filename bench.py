@@ -106,12 +106,17 @@ def main():
     warm = float(jnp.mean(out))
     log(f"compile+first run (fetch-forced): {time.time() - t0:.1f}s (mean={warm:.4f})")
 
-    t0 = time.time()
-    out = run(params, x0, y0, jax.random.PRNGKey(2))
-    _ = float(jnp.mean(out))
-    dt = time.time() - t0
+    # min of 3: the tunneled backend shows ~±10% run-to-run variance
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        out = run(params, x0, y0, jax.random.PRNGKey(2 + i))
+        _ = float(jnp.mean(out))
+        times.append(time.time() - t0)
+        log(f"run {i}: {times[-1]:.2f}s")
+    dt = min(times)
     per_image = dt / args.batch
-    log(f"steady-state: {dt:.2f}s total, {S / dt:.2f} guided steps/s, "
+    log(f"steady-state (min of 3): {dt:.2f}s total, {S / dt:.2f} guided steps/s, "
         f"{per_image:.2f}s/image")
 
     baseline_target = 15.0  # BASELINE.md: <15s per 256px ddim250 image on v5e

@@ -139,14 +139,11 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
-    # reshape-mean rather than reduce_window: native dtype (no f32 copies of
-    # full feature maps), trivially differentiable, fuses as elementwise
-    b, h, w, c = x.shape
-    pooled = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return (
-        (pooled[:, :, 0, :, 0] + pooled[:, :, 1, :, 0] + pooled[:, :, 0, :, 1] + pooled[:, :, 1, :, 1])
-        * jnp.asarray(0.25, x.dtype)
-    )
+    # f32 reduce_window, cast back (a reshape-slice-sum variant measured
+    # slower end-to-end on v5e — XLA's window reduction fuses better)
+    return jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ).astype(x.dtype) * 0.25
 
 
 def qkv_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:

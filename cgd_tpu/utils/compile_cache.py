@@ -23,6 +23,10 @@ def enable_compile_cache() -> None:
         return
     import jax
 
+    if jax.default_backend() == "cpu":
+        # CPU AOT cache entries embed host machine features; reloading them
+        # on a different host risks SIGILL, and CPU compiles are fast anyway
+        return
     os.makedirs(CACHE_DIR, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
