@@ -350,7 +350,7 @@ def clip_guided_diffusion(
 
     rng, r_loop = jax.random.split(rng)
     try:
-        for step_k, pred_x0 in sample_loop(
+        for step_k, pred_x0, x_t in sample_loop(
             diffusion, model_fn, builder, params, shape, r_loop, sampler_cfg,
             skip_timesteps=skip_timesteps,
             init_image=init_tensor,
@@ -364,12 +364,30 @@ def clip_guided_diffusion(
             init_noise=init_noise,
         ):
             frames = np.asarray(pred_x0)
+            if wandb_run is not None:
+                # reference triptych (cgd/cgd.py:180-186): noisy sample,
+                # denoised prediction, blend (what CLIP sees)
+                import wandb
+
+                from cgd_tpu.io_utils.images import to_pil_image
+
+                xt = np.asarray(x_t)
+                fac = float(
+                    np.asarray(diffusion.sqrt_one_minus_alphas_cumprod)[
+                        max(diffusion.num_timesteps - 1 - step_k, 0)
+                    ]
+                )
+                blend = frames * fac + xt * (1.0 - fac)
+                wandb_run.log({
+                    f"Generations - {timestep_respacing}": [
+                        wandb.Image(to_pil_image(xt[0]), caption="Noisy Sample"),
+                        wandb.Image(to_pil_image(frames[0]), caption="Denoised Prediction"),
+                        wandb.Image(to_pil_image(blend[0]), caption="Blended (what CLIP sees)"),
+                    ],
+                    "step": step_k,
+                })
             for batch_idx in range(batch_size):
                 path = log_image(frames[batch_idx], prefix_path, prompts, step_k, batch_idx, use_async=async_frames)
-                if wandb_run is not None:
-                    import wandb
-
-                    wandb_run.log({"step": step_k, "image": wandb.Image(path)})
                 yield batch_idx, path
     except KeyboardInterrupt:
         say("Interrupted — partial frames kept.")

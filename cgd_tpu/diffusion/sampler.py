@@ -192,8 +192,9 @@ def sample_loop(
     init_noise=None,  # [*shape]: recorded starting noise
 ) -> Iterator[Tuple[int, jnp.ndarray]]:
     """Run the full guided sampling schedule, yielding (consumed_step_index,
-    pred_xstart) at the reference's save points: every ``save_frequency``
-    steps plus the final step (cgd/cgd.py:265-270 contract).
+    pred_xstart, x_t) at the reference's save points: every ``save_frequency``
+    steps plus the final step (cgd/cgd.py:265-270 contract; x_t enables the
+    reference's noisy/denoised/blended wandb triptych, cgd/cgd.py:180-186).
 
     Steps between save points with identical static metadata run inside a
     single lax.scan; a new (guided, cutn) phase or a save point starts a new
@@ -305,6 +306,6 @@ def sample_loop(
             y = y_out
         last_k = k + len(seg) - 1
         if last_k in save_at:
-            yield last_k, pred_x0
+            yield last_k, pred_x0, x
         if progress_cb is not None:
             progress_cb(len(seg))

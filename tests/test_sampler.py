@@ -93,9 +93,9 @@ class TestSampleLoop:
                 jax.random.PRNGKey(0), cfg, save_frequency=4,
             )
         )
-        ks = [k for k, _ in outs]
+        ks = [o[0] for o in outs]
         assert ks == [0, 4, 8, 9]  # every 4th + final
-        for _, x0 in outs:
+        for _, x0, _xt in outs:
             assert x0.shape == (1, 16, 16, 3)
             assert bool(jnp.isfinite(x0).all())
 
@@ -117,8 +117,8 @@ class TestSampleLoop:
                 save_frequency=10, y_init=jnp.zeros((2,), jnp.int32),
             )
         )
-        assert [k for k, _ in outs] == [0, 10, 19]
-        assert all(bool(jnp.isfinite(x).all()) for _, x in outs)
+        assert [o[0] for o in outs] == [0, 10, 19]
+        assert all(bool(jnp.isfinite(o[1]).all()) for o in outs)
 
     def test_skip_with_init_image(self):
         model_fn = tiny_model()
@@ -132,7 +132,7 @@ class TestSampleLoop:
             )
         )
         # 10 steps run; only k=0 and final k=9 saved
-        assert [k for k, _ in outs] == [0, 9]
+        assert [o[0] for o in outs] == [0, 9]
 
     def test_deterministic_given_key(self):
         model_fn = tiny_model()
