@@ -131,3 +131,31 @@ def test_clip_resnet_matches_torch():
     params = convert_state_dict(sd, cfg)
     ours = encode_image(params, cfg, jnp.asarray(imgs.permute(0, 2, 3, 1).numpy()))
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=3e-4, rtol=3e-4)
+
+
+def test_lpips_matches_torch():
+    from cgd_tpu.models.vgg_lpips import lpips_distance
+
+    from tests.torch_ref_models import TorchLPIPSVgg
+
+    torch.manual_seed(4)
+    tm = TorchLPIPSVgg().eval()
+    x = torch.rand(2, 3, 64, 64) * 2 - 1
+    y = torch.rand(2, 3, 64, 64) * 2 - 1
+    with torch.no_grad():
+        ref = tm(x, y)
+
+    params = {
+        "convs": [
+            {"kernel": c.weight.detach().permute(2, 3, 1, 0).numpy(),
+             "bias": c.bias.detach().numpy()}
+            for c in tm.convs
+        ],
+        "lins": [{"kernel": w.detach().numpy()[:, None]} for w in tm.lins],
+    }
+    ours = lpips_distance(
+        params,
+        jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+        jnp.asarray(y.permute(0, 2, 3, 1).numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=2e-4, rtol=2e-4)

@@ -477,3 +477,50 @@ class TorchModifiedResNet(nn.Module):
             sd[f"visual.attnpool.{nm}.bias"] = lin.bias
         sd.update(text.text_state_dict())
         return {k: v.detach() for k, v in sd.items()}
+
+
+class TorchLPIPSVgg(nn.Module):
+    """VGG16-tap LPIPS replica (lpips 0.1.4 contract): ScalingLayer on [-1,1],
+    unit-normalized diffs at relu{1_2,2_2,3_3,4_3,5_3}, non-negative 1x1
+    heads, spatial+tap mean-sum."""
+
+    LAYOUT = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]
+    TAPS = {1, 3, 6, 9, 12}
+
+    def __init__(self):
+        super().__init__()
+        convs, cin = [], 3
+        for c in self.LAYOUT:
+            if c == "M":
+                continue
+            convs.append(nn.Conv2d(cin, c, 3, padding=1))
+            cin = c
+        self.convs = nn.ModuleList(convs)
+        self.lins = nn.ParameterList(
+            [nn.Parameter(torch.rand(c) * 0.1) for c in (64, 128, 256, 512, 512)]
+        )
+        self.register_buffer("shift", torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1))
+        self.register_buffer("scale", torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1))
+
+    def _taps(self, x):
+        h = (x - self.shift) / self.scale
+        taps, ci = [], 0
+        for c in self.LAYOUT:
+            if c == "M":
+                h = F.max_pool2d(h, 2)
+                continue
+            h = F.relu(self.convs[ci](h))
+            if ci in self.TAPS:
+                taps.append(h)
+            ci += 1
+        return taps
+
+    def forward(self, x, y):
+        tx, ty = self._taps(x), self._taps(y)
+        total = 0.0
+        for a, b, w in zip(tx, ty, self.lins):
+            na = a / (a.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
+            nb = b / (b.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
+            d = (na - nb).pow(2)
+            total = total + (d * w.view(1, -1, 1, 1)).sum(1).mean((1, 2))
+        return total
