@@ -134,3 +134,29 @@ class TestCLI:
             "--progressive-cutout", "-cutn_skip", "--cached-cutouts", "-cached_cutn",
         ]:
             assert flag in opts, flag
+
+
+class TestImagePrompts:
+    def test_image_prompt_e2e(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        from cgd_tpu.api import clip_guided_diffusion
+
+        imgp = tmp_path / "prompt.png"
+        Image.fromarray(
+            (np.random.RandomState(0).rand(48, 40, 3) * 255).astype(np.uint8)
+        ).save(imgp)
+        gen = clip_guided_diffusion(
+            prompts=["txt"],
+            image_prompts=[f"{imgp}:0.5"],
+            image_size=64,
+            timestep_respacing="ddim10",
+            num_cutouts=2,
+            save_frequency=100,
+            weights_mode="random",
+            prefix_path=tmp_path / "out",
+            progress=False,
+        )
+        results = list(gen)
+        assert len(results) == 2
