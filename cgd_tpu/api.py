@@ -17,7 +17,6 @@ is jitted JAX (segmented lax.scan over the respaced schedule; UNet + cutouts
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Iterator, List, Optional, Tuple
 

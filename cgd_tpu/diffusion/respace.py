@@ -13,7 +13,7 @@ recomputed as beta~_i = 1 - abar_i / abar_{i-1} over the kept subset
 
 from __future__ import annotations
 
-from typing import Iterable, List, Sequence, Union
+from typing import List, Sequence, Union
 
 
 def space_timesteps(num_timesteps: int, section_counts: Union[str, Sequence[int]]) -> List[int]:

@@ -23,13 +23,13 @@ Design:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterator, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Callable, Iterator, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cgd_tpu.diffusion.gaussian import GaussianDiffusion, PMeanVariance
+from cgd_tpu.diffusion.gaussian import GaussianDiffusion, PMeanVariance  # noqa: F401 (PMeanVariance re-exported for guidance typing)
 
 
 class StepMeta(NamedTuple):

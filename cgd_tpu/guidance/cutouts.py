@@ -23,7 +23,7 @@ free: coords are data, so reusing them across steps is just reusing arrays.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

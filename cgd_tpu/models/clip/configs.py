@@ -9,7 +9,7 @@ reference supports (reference name table: cgd/clip_util.py:17-29).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 
 @dataclasses.dataclass(frozen=True)

@@ -15,8 +15,6 @@ Conventions (deliberately different from the torch reference â€” see SURVEY.md Â
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 
