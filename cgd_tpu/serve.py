@@ -1,0 +1,123 @@
+"""Minimal HTTP serving daemon.
+
+The reference's serving surface is the Replicate/Cog adapter
+(cog_predict.py); this adds a dependency-free stdlib server for direct
+deployment on TPU VMs:
+
+    python -m cgd_tpu.serve --port 8080 [--weights-mode random]
+
+    POST /generate {"prompt": "...", "image_size": 256,
+                    "timestep_respacing": "ddim250", ...any api kwarg}
+      -> image/png (the final frame)
+    GET  /healthz  -> {"status": "ok", "backend": "tpu", "devices": N}
+
+Requests are serialized through a single worker (one TPU context); compiled
+graphs are cached across requests by jit + the persistent compilation cache,
+so repeat configs skip compilation entirely (the reference leans on
+lru_cache(1) warm restarts for the same effect, cgd/clip_util.py:47).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_LOCK = threading.Lock()
+
+ALLOWED_KWARGS = {
+    "image_size", "num_cutouts", "clip_guidance_scale", "tv_scale", "range_scale",
+    "sat_scale", "init_scale", "batch_size", "class_cond", "cutout_power",
+    "timestep_respacing", "seed", "diffusion_steps", "skip_timesteps",
+    "clip_model_name", "randomize_class", "noise_schedule",
+    "use_augs", "use_magnitude", "height_offset", "width_offset",
+    "reduce_clip", "progressive_cutout", "cached_cutouts",
+}
+
+
+def _generate(payload: dict, weights_mode: str) -> str:
+    from cgd_tpu.api import clip_guided_diffusion
+
+    prompt = payload.get("prompt", "")
+    if not prompt:
+        raise ValueError("missing 'prompt'")
+    kwargs = {k: v for k, v in payload.items() if k in ALLOWED_KWARGS}
+    out_dir = tempfile.mkdtemp(prefix="cgd_serve_")
+    last = None
+    gen = clip_guided_diffusion(
+        prompts=prompt.split("|"),
+        prefix_path=out_dir,
+        save_frequency=payload.get("save_frequency", 10**9),  # final frame only
+        progress=False,
+        weights_mode=weights_mode,
+        **kwargs,
+    )
+    for _b, path in gen:
+        last = path
+    return last
+
+
+class Handler(BaseHTTPRequestHandler):
+    weights_mode = "auto"
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            import jax
+
+            body = json.dumps(
+                {"status": "ok", "backend": jax.default_backend(), "devices": len(jax.devices())}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_error(404)
+
+    def do_POST(self):
+        if self.path != "/generate":
+            self.send_error(404)
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            with _LOCK:  # one TPU context; serialize generations
+                frame = _generate(payload, self.weights_mode)
+            if frame is None:
+                raise RuntimeError("no frame produced")
+            with open(frame, "rb") as f:
+                data = f.read()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        except Exception as e:  # report, keep serving
+            body = json.dumps({"error": str(e)}).encode()
+            self.send_response(400)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--weights-mode", default="auto", choices=["auto", "random"])
+    args = ap.parse_args(argv)
+    Handler.weights_mode = args.weights_mode
+    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    print(f"cgd-tpu serving on http://{args.host}:{args.port} (weights={args.weights_mode})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""HTTP serving daemon e2e (tiny debug models, CPU)."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+
+@pytest.fixture()
+def server(monkeypatch, tmp_path):
+    monkeypatch.setenv("CGD_TPU_DEBUG_TINY", "1")
+    monkeypatch.chdir(tmp_path)
+    from cgd_tpu.serve import Handler
+
+    Handler.weights_mode = "random"
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+class TestServe:
+    def test_healthz(self, server):
+        with urllib.request.urlopen(f"{server}/healthz") as r:
+            body = json.loads(r.read())
+        assert body["status"] == "ok" and body["devices"] >= 1
+
+    def test_generate_png(self, server):
+        req = urllib.request.Request(
+            f"{server}/generate",
+            data=json.dumps({
+                "prompt": "serve test", "image_size": 64,
+                "timestep_respacing": "ddim10", "num_cutouts": 2,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            data = r.read()
+        assert r.headers["Content-Type"] == "image/png"
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_bad_request(self, server):
+        req = urllib.request.Request(
+            f"{server}/generate", data=b"{}", headers={"Content-Type": "application/json"}
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        assert "prompt" in json.loads(ei.value.read())["error"]
