@@ -51,6 +51,16 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", None, None, None))
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for [B,H,W,C] activations with the image HEIGHT split over
+    the 'cut' axis (sequence/spatial parallelism for the UNet): XLA's
+    partitioner inserts halo exchanges for the 3x3 convs and all-gathers at
+    the (low-resolution, cheap) attention blocks. Scales 512px+ generation
+    past one chip's conv throughput — the post-north-star axis SURVEY.md §5.7
+    names."""
+    return NamedSharding(mesh, P("data", "cut", None, None))
+
+
 def shard_params_replicated(params, mesh: Mesh):
     """Replicate a parameter pytree across the mesh (weights fit per-chip for
     every reference checkpoint; tensor parallelism is not needed below 512px

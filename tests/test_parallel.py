@@ -71,3 +71,26 @@ class TestGraftEntry:
         out_shapes = jax.eval_shape(fn, *args)
         assert out_shapes[0].shape == (1, 64, 64, 3)
         assert out_shapes[1].shape == (1, 64, 64, 3)
+
+    def test_spatial_sharding_matches_unsharded(self, mesh8):
+        """Height-sharded UNet forward == replicated forward (halo exchanges
+        inserted by the partitioner must not change results)."""
+        from cgd_tpu.models.unet import UNetConfig, apply_unet, init_unet
+        from cgd_tpu.parallel.mesh import spatial_sharding
+
+        cfg = UNetConfig(
+            image_size=32, model_channels=32, num_res_blocks=1,
+            attention_ds=(4,), channel_mult=(1, 2), num_head_channels=16,
+        )
+        params = init_unet(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        t = jnp.array([3.0, 9.0])
+
+        ref = jax.jit(lambda p, x: apply_unet(p, cfg, x, t))(params, x)
+
+        def sharded(p, x):
+            x = jax.lax.with_sharding_constraint(x, spatial_sharding(mesh8))
+            return apply_unet(p, cfg, x, t)
+
+        out = jax.jit(sharded)(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
