@@ -171,9 +171,16 @@ def make_guidance_builder(
             return loss
 
         def grad_transform(grad):
+            log = {}
             if settings.use_magnitude:
                 rms = jnp.sqrt(jnp.mean(jnp.square(grad)))
+                log["Magnitude"] = rms
                 grad = grad * jnp.clip(rms, max=0.05) / jnp.maximum(rms, 1e-12)
+            if loss_callback is not None:
+                # reference logs the final guidance gradient mean + magnitude
+                # per step (cgd/cgd.py:229-233)
+                log["Grad"] = jnp.mean(grad)
+                jax.debug.callback(loss_callback, log)
             return grad
 
         return GuidanceFns(loss_fn, grad_transform)
