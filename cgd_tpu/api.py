@@ -17,6 +17,8 @@ is jitted JAX (segmented lax.scan over the respaced schedule; UNet + cutouts
 
 from __future__ import annotations
 
+import functools
+
 from pathlib import Path
 from typing import Iterator, List, Optional, Tuple
 
@@ -80,6 +82,21 @@ def _encode_image_prompt(
     embeds = np.asarray(jax.jit(encode)(clip_params, jnp.asarray(arr), spec))
     batch_weights = [weight / num_cutouts] * num_cutouts
     return embeds, batch_weights
+
+
+@functools.lru_cache(maxsize=1)
+def _host_callbacks_supported() -> bool:
+    """Some tunneled PJRT backends (axon) reject host send/recv callbacks;
+    probe once so --log-losses degrades instead of crashing the sampler."""
+    try:
+        def f(x):
+            jax.debug.callback(lambda v: None, x)
+            return x + 1
+
+        jax.jit(f)(jnp.zeros(())).block_until_ready()
+        return True
+    except Exception:
+        return False
 
 
 class _FallbackTokenizer:
@@ -298,6 +315,13 @@ def clip_guided_diffusion(
         clip_params = shard_params_replicated(clip_params, mesh)
 
     use_init_loss = init_tensor is not None and init_scale != 0
+
+    if log_losses and not _host_callbacks_supported():
+        say(
+            "Note: this backend does not support host callbacks "
+            "(jax.debug.callback); per-step loss logging disabled."
+        )
+        log_losses = False
 
     loss_cb = None
     if log_losses:
