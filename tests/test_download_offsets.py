@@ -64,3 +64,19 @@ class TestNonSquare:
         results = list(gen)
         img = Image.open(results[-1][1])
         assert img.size == (96, 64)  # (W+offset, H)
+
+    def test_negative_offset(self, tmp_path, monkeypatch):
+        """Negative offsets are documented (less memory, faster): README:141."""
+        from PIL import Image
+
+        monkeypatch.setenv("CGD_TPU_DEBUG_TINY", "1")
+        monkeypatch.chdir(tmp_path)
+        from cgd_tpu.api import clip_guided_diffusion
+
+        gen = clip_guided_diffusion(
+            prompts=["tall"], image_size=64, height_offset=-32,
+            timestep_respacing="ddim10", num_cutouts=2, save_frequency=100,
+            weights_mode="random", prefix_path=tmp_path / "o", progress=False,
+        )
+        img = Image.open(list(gen)[-1][1])
+        assert img.size == (64, 32)
