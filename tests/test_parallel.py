@@ -94,3 +94,13 @@ class TestGraftEntry:
 
         out = jax.jit(sharded)(params, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_dryrun_multichip_4(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(4)
+
+    def test_dryrun_multichip_2(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(2)

@@ -178,3 +178,26 @@ class TestForward:
         o_det = apply_unet(params, cfg, x, jnp.array([5.0]))
         assert not np.allclose(np.asarray(o1), np.asarray(o2))
         assert bool(jnp.isfinite(o_det).all())
+
+
+class TestFlagMergeOrder:
+    def test_noise_schedule_override_footgun(self):
+        """Reference §3.4: user noise_schedule overrides the checkpoint's —
+        the CLI 'linear' default silently overrides 64px's cosine."""
+        from cgd_tpu.weights import resolve_unet
+
+        _p, _cfg, flags = resolve_unet(
+            64, True, mode="random",
+            flag_overrides={"noise_schedule": "linear", "diffusion_steps": 1000,
+                            "dropout": 0.0},
+        )
+        assert flags["noise_schedule"] == "linear"  # overrode cosine (quirk kept)
+
+        _p, _cfg, flags = resolve_unet(64, True, mode="random", flag_overrides=None)
+        assert flags["noise_schedule"] == "cosine"  # checkpoint default
+
+    def test_512_carries_rescale(self):
+        from cgd_tpu.weights import resolve_unet
+
+        _p, _cfg, flags = resolve_unet(512, False, mode="random")
+        assert flags.get("rescale_timesteps") is True
