@@ -136,7 +136,14 @@ class GaussianDiffusion:
             variance = jnp.exp(log_variance)
         else:
             eps = model_output
-            variance = _bcast(c.posterior_variance, t, nd) * jnp.ones_like(x)
+            # FIXED_LARGE, matching guided_diffusion's create_gaussian_diffusion
+            # choice when learn_sigma=False: betas, with posterior_variance[1]
+            # substituted at t=0 (where beta_0's posterior variance is 0).
+            if len(c.betas) > 1:
+                var_arr = np.append(c.posterior_variance[1], c.betas[1:])
+            else:
+                var_arr = c.posterior_variance
+            variance = _bcast(var_arr.astype(np.float32), t, nd) * jnp.ones_like(x)
             log_variance = jnp.log(jnp.maximum(variance, 1e-20))
 
         eps = eps.astype(jnp.float32)

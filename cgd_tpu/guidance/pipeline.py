@@ -75,6 +75,15 @@ def make_guidance_builder(
     When ``mesh`` is given, the cutout batch is sharded across all mesh
     devices (see cgd_tpu.parallel.mesh) — XLA then all-reduces the guidance
     gradient over the cutout shards."""
+    if settings.pallas_cutouts == "always" and (settings.use_augs or mesh is not None):
+        # The fused kernel implements crop+resize+normalize only: it cannot
+        # apply augment_cutouts or the mesh sharding constraint, so honoring
+        # "always" here would silently change the requested guidance.
+        raise ValueError(
+            "pallas_cutouts='always' is incompatible with use_augs=True or a "
+            "device mesh (the fused kernel skips augmentations and sharding); "
+            "use pallas_cutouts='auto' or 'never'"
+        )
     clip_size = clip_cfg.input_resolution
     # IMPORTANT: closure constants must be NUMPY, not device arrays — a
     # device-resident constant makes MLIR lowering fetch ._value from the

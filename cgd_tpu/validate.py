@@ -33,7 +33,16 @@ def check_parameters(
         raise ValueError("Noise schedule should be one of: linear, cosine")
     if image_size not in IMAGE_SIZES:
         raise ValueError(f"--image size should be one of {IMAGE_SIZES}")
-    respace_steps = int(str(timestep_respacing).replace("ddim", "") or 0)
+    # Comma-separated section specs ("25,25,10") are valid respacings
+    # (diffusion/respace.py:space_timesteps); total steps = sum of sections.
+    sections = str(timestep_respacing).replace("ddim", "")
+    try:
+        respace_steps = sum(int(s) for s in sections.split(",") if s)
+    except ValueError:
+        raise ValueError(
+            f"--timestep_respacing {timestep_respacing!r} is not a step count, "
+            "'ddimN', or comma-separated section list"
+        )
     if save_frequency <= 0:
         raise ValueError("--save_frequency must be greater than 0")
     if save_frequency > respace_steps:

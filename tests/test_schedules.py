@@ -158,6 +158,26 @@ class TestDiffusionProcess:
             rtol=1e-5,
         )
 
+    def test_p_mean_variance_fixed_large(self):
+        """learn_sigma=False uses FIXED_LARGE variance (guided_diffusion's
+        create_gaussian_diffusion default): betas with posterior_variance[1]
+        substituted at t=0."""
+        import jax
+        import jax.numpy as jnp
+
+        d = make_diffusion(steps=50, timestep_respacing="50", learn_sigma=False)
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 3))
+        model_out = jnp.zeros((1, 8, 8, 3))
+        expected = np.append(d.coeffs.posterior_variance[1], d.coeffs.betas[1:])
+        for t, want in [(0, expected[0]), (10, expected[10]), (49, expected[49])]:
+            out = d.p_mean_variance(model_out, x, jnp.array([t]))
+            np.testing.assert_allclose(
+                np.asarray(out.variance)[0, 0, 0, 0], want, rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.log_variance)[0, 0, 0, 0], np.log(want), rtol=1e-5
+            )
+
     def test_ddim_deterministic_at_eta0(self):
         import jax
         import jax.numpy as jnp

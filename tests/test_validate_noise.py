@@ -38,6 +38,16 @@ class TestCheckParameters:
         # > respacing is a soft warning (means: save first + final only)
         check_parameters(**self.good(save_frequency=300, timestep_respacing="ddim250"))
 
+    def test_comma_section_respacing_accepted(self):
+        # "a,b,c" section specs are valid per space_timesteps; total = sum
+        check_parameters(**self.good(timestep_respacing="25,25", save_frequency=50))
+        with pytest.raises(ValueError, match="save_frequency"):
+            check_parameters(**self.good(timestep_respacing="25,25", save_frequency=0))
+
+    def test_garbage_respacing_rejected(self):
+        with pytest.raises(ValueError, match="timestep_respacing"):
+            check_parameters(**self.good(timestep_respacing="fast"))
+
     def test_missing_custom_ckpt(self):
         with pytest.raises(AssertionError):
             check_parameters(**self.good(clip_model_name="/nope/model.pt"))
