@@ -54,11 +54,17 @@ def _encode_text_prompt(clip_params, clip_cfg, txt: str, tokenizer) -> np.ndarra
 
 def _encode_image_prompt(
     clip_params, clip_cfg, img_path: str, weight: float, image_size: int,
-    num_cutouts: int, rng,
+    num_cutouts: int, rng, strict_parity: bool = True,
 ) -> Tuple[np.ndarray, List[float]]:
     """Reference contract (cgd/clip_util.py:90-101): lanczos3-downscale so the
     *first* dim hits min(diffusion_size, W, H) (ResizeRight partial-out_shape
-    quirk), cutouts, encode, weight split across cutn."""
+    quirk), cutouts, encode, weight split across cutn.
+
+    ``strict_parity``: the reference normalizes cutouts with
+    ``torch.nn.functional.normalize`` — per-pixel channel-wise L2 — not with
+    CLIP's mean/std (a reference quirk, cgd/clip_util.py:6,100). True
+    replicates that; False uses CLIP normalization (what the guidance loop
+    uses and what CLIP expects)."""
     from cgd_tpu.ops.resample import resize
     from PIL import Image
 
@@ -71,12 +77,14 @@ def _encode_image_prompt(
     h, w = arr.shape[:2]
     spec = sample_cutout_coords(rng, num_cutouts, w, h, clip_cfg.input_resolution)
 
-    # reference normalizes with tf.normalize (L2!) not CLIP_NORMALIZE here —
-    # a reference quirk (cgd/clip_util.py:100); we use CLIP normalization,
-    # which is what the guidance loop uses and what CLIP expects.
     def encode(p, img, sp):
         cuts = make_cutouts(img[None], sp, clip_cfg.input_resolution)
-        cuts = (cuts - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+        if strict_parity:
+            # F.normalize(batch) over the channel axis (NHWC: last), eps=1e-12
+            norm = jnp.sqrt(jnp.sum(jnp.square(cuts), axis=-1, keepdims=True))
+            cuts = cuts / jnp.maximum(norm, 1e-12)
+        else:
+            cuts = (cuts - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
         return clip_encode_image(p, clip_cfg, cuts)
 
     embeds = np.asarray(jax.jit(encode)(clip_params, jnp.asarray(arr), spec))
@@ -164,6 +172,10 @@ def clip_guided_diffusion(
     noise_file: Optional[str] = None,  # npz {"init","steps"}: recorded noise for goldens
     async_frames: bool = False,  # native C++ background PNG writes (flush before reading!)
     log_losses: bool = False,  # per-step loss lines + wandb scalars (host sync per step)
+    strict_parity: bool = True,  # replicate reference quirks: final-frame save
+    # condition (cgd/cgd.py:268 never fires when skip>0), image-prompt
+    # channel-L2 normalize (clip_util.py:100), init_image square resize
+    # (cgd/cgd.py:118 — incompatible with offsets). False applies the fixes.
 ) -> Iterator[Tuple[int, str]]:
     from cgd_tpu.utils.compile_cache import enable_compile_cache
 
@@ -235,7 +247,8 @@ def clip_guided_diffusion(
         img, weight = parse_prompt(image_prompt)
         rng, r_imgp = jax.random.split(rng)
         emb, ws = _encode_image_prompt(
-            clip_params, clip_cfg, img, weight, image_size, num_cutouts, r_imgp
+            clip_params, clip_cfg, img, weight, image_size, num_cutouts, r_imgp,
+            strict_parity=strict_parity,
         )
         embeds_list.append(emb)
         weights_list.extend(ws)
@@ -249,7 +262,23 @@ def clip_guided_diffusion(
     # ---- init image -------------------------------------------------------
     init_tensor = None
     if init_image:
-        arr = load_image_rgb(init_image, image_size)
+        if (height_offset or width_offset) and strict_parity:
+            # the reference resizes the init square (cgd/cgd.py:118) while the
+            # sample shape carries the offsets (cgd/cgd.py:252) — q_sample
+            # then fails on a shape mismatch. Fail loudly instead.
+            raise ValueError(
+                "init_image with height/width offsets is broken in the "
+                "reference (init resized to "
+                f"({image_size},{image_size}) but sample shape is "
+                f"({image_size + height_offset},{image_size + width_offset})); "
+                "pass strict_parity=False to resize the init to the offset shape"
+            )
+        size = (
+            (image_size + width_offset, image_size + height_offset)
+            if (height_offset or width_offset)
+            else image_size
+        )
+        arr = load_image_rgb(init_image, size)
         init_tensor = jnp.asarray(arr)[None].repeat(batch_size, axis=0)
 
     # ---- diffusion process ------------------------------------------------
@@ -316,27 +345,44 @@ def clip_guided_diffusion(
 
     use_init_loss = init_tensor is not None and init_scale != 0
 
-    if log_losses and not _host_callbacks_supported():
-        say(
-            "Note: this backend does not support host callbacks "
-            "(jax.debug.callback); per-step loss logging disabled."
-        )
-        log_losses = False
+    def _emit_line(line):
+        try:
+            from tqdm.auto import tqdm
 
-    loss_cb = None
-    if log_losses:
+            tqdm.write(line)
+        except ImportError:
+            print(line)
+
+    loss_cb = loss_sink = None
+    if log_losses and _host_callbacks_supported():
+        # live per-step host callback (reference behavior: tqdm.write +
+        # wandb.log each guided step, cgd/cgd.py:234-238)
         def loss_cb(log):
-            line = "\t".join(
+            _emit_line("\t".join(
                 f"{k}: {float(v):.3f}" for k, v in log.items() if "loss" in k.lower()
-            )
-            try:
-                from tqdm.auto import tqdm
-
-                tqdm.write(line)
-            except ImportError:
-                print(line)
+            ))
             if wandb_run is not None:
                 wandb_run.log({k: float(v) for k, v in log.items()})
+    elif log_losses:
+        # the axon-tunneled PJRT backend rejects host callbacks — pull loss
+        # scalars as scan outputs fetched once per segment instead
+        say(
+            "Note: this backend does not support host callbacks; logging "
+            "losses at segment boundaries instead of live per step."
+        )
+
+        def loss_sink(seg_start, logs):
+            n = len(next(iter(logs.values()))) if logs else 0
+            for i in range(n):
+                _emit_line(f"step {seg_start + i}\t" + "\t".join(
+                    f"{k}: {float(v[i]):.3f}"
+                    for k, v in logs.items() if "loss" in k.lower()
+                ))
+                if wandb_run is not None:
+                    wandb_run.log(
+                        {k: float(v[i]) for k, v in logs.items()},
+                        step=seg_start + i,
+                    )
 
     builder = make_guidance_builder(
         clip_cfg, target_embeds, weights, diffusion, settings,
@@ -385,6 +431,8 @@ def clip_guided_diffusion(
             progress_cb=(bar.update if bar is not None else None),
             noise_override=noise_steps,
             init_noise=init_noise,
+            final_frame_parity=strict_parity,
+            loss_sink=loss_sink,
         ):
             frames = np.asarray(pred_x0)
             if wandb_run is not None:

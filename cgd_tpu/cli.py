@@ -16,67 +16,67 @@ def build_parser() -> argparse.ArgumentParser:
         description=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter
     )
     p.add_argument("--prompts", "-txts", type=str, default="",
-                   help="the prompt/s to reward paired with weights. e.g. 'My text:0.5|Other text:-0.5'")
+                   help="text prompt(s), '|'-separated, each optionally 'text:weight' (negative weights penalize), e.g. 'a forest:0.7|blurry:-0.4'")
     p.add_argument("--image_prompts", "-imgs", type=str, default="",
-                   help="the image prompt/s to reward paired with weights. e.g. 'img1.png:0.5,img2.png:-0.5'")
+                   help="image prompt(s), '|'-separated paths/URLs, each optionally 'path:weight'")
     p.add_argument("--image_size", "-size", type=int, default=128,
-                   help="Diffusion image size. Must be one of [64, 128, 256, 512].")
+                   help="output resolution; a checkpoint exists for each of 64, 128, 256, 512")
     p.add_argument("--init_image", "-init", type=str, default="",
-                   help="Blend an image with diffusion for n steps")
+                   help="start from this image (noised to the skip point) instead of pure noise")
     p.add_argument("--init_scale", "-is", type=int, default=0,
-                   help="(optional) Perceptual loss scale for init image.")
+                   help="weight of the VGG/LPIPS perceptual loss pulling samples toward --init_image")
     p.add_argument("--skip_timesteps", "-skip", type=int, default=0,
-                   help="Number of timesteps to blend image for. CLIP guidance occurs after this.")
+                   help="how many leading diffusion steps to skip (used with --init_image)")
     p.add_argument("--prefix", "-dir", default="outputs", type=Path, help="output directory")
     p.add_argument("--checkpoints_dir", "-ckpts", default=CACHE_PATH, type=Path,
-                   help="Path subdirectory containing checkpoints.")
-    p.add_argument("--batch_size", "-bs", type=int, default=1, help="the batch size")
+                   help="directory where model checkpoints are cached")
+    p.add_argument("--batch_size", "-bs", type=int, default=1, help="number of images to sample at once")
     p.add_argument("--clip_guidance_scale", "-cgs", type=float, default=1000,
-                   help="Scale for CLIP spherical distance loss.")
+                   help="strength of the CLIP prompt-matching guidance")
     p.add_argument("--tv_scale", "-tvs", type=float, default=150.0,
-                   help="Controls the smoothness of the final output.")
+                   help="total-variation loss weight (higher = smoother output)")
     p.add_argument("--range_scale", "-rs", type=float, default=50.0,
-                   help="Controls how far out of RGB range values may get.")
+                   help="range loss weight penalizing pixels outside [-1, 1]")
     p.add_argument("--sat_scale", "-sats", type=float, default=0.0,
-                   help="Controls how much saturation is allowed. Used for ddim.")
-    p.add_argument("--seed", "-seed", type=int, default=0, help="Random number seed")
-    p.add_argument("--save_frequency", "-freq", type=int, default=1, help="Save frequency")
-    p.add_argument("--diffusion_steps", "-steps", type=int, default=1000, help="Diffusion steps")
+                   help="saturation loss weight (mostly useful with ddim respacing)")
+    p.add_argument("--seed", "-seed", type=int, default=0, help="PRNG seed for reproducible runs")
+    p.add_argument("--save_frequency", "-freq", type=int, default=1, help="write a frame every N steps")
+    p.add_argument("--diffusion_steps", "-steps", type=int, default=1000, help="length of the full (pre-respacing) diffusion schedule")
     p.add_argument("--timestep_respacing", "-respace", type=str, default="1000",
-                   help="Timestep respacing")
+                   help="respaced schedule: a step count, 'ddimN', or comma sections")
     p.add_argument("--num_cutouts", "-cutn", type=int, default=16,
-                   help="Number of randomly cut patches to distort from diffusion.")
-    p.add_argument("--cutout_power", "-cutpow", type=float, default=1.0, help="Cutout size power")
+                   help="number of random crops CLIP scores per guided step")
+    p.add_argument("--cutout_power", "-cutpow", type=float, default=1.0, help="exponent skewing the random crop size distribution")
     p.add_argument("--clip_model", "-clip", type=str, default="ViT-B/32",
                    help=f"clip model name. Should be one of: {CLIP_MODEL_NAMES}")
     p.add_argument("--uncond", "-uncond", action="store_true",
-                   help="Use finetuned unconditional checkpoints (256px OpenAI, 512px Crowson)")
+                   help="use the unconditional checkpoints (256px OpenAI / 512px finetune) instead of class-conditional")
     p.add_argument("--noise_schedule", "-sched", default="linear", type=str,
-                   help="Specify noise schedule. Either 'linear' or 'cosine'.")
-    p.add_argument("--dropout", "-drop", default=0.0, type=float, help="Amount of dropout to apply.")
+                   help="beta schedule: 'linear' or 'cosine' (note: overrides the checkpoint default)")
+    p.add_argument("--dropout", "-drop", default=0.0, type=float, help="UNet dropout rate")
     p.add_argument("--device", "-dev", default="", type=str,
                    help="(accepted for reference compatibility; JAX picks the backend)")
     p.add_argument("--wandb_project", "-proj", default=None,
-                   help="Name W&B will use when saving results.")
+                   help="log the run to this Weights & Biases project")
     p.add_argument("--wandb_entity", "-ent", default=None,
-                   help="(optional) Name of W&B team/entity to log to.")
-    p.add_argument("--height_offset", "-ht", default=0, type=int, help="Height offset for image")
-    p.add_argument("--width_offset", "-wd", default=0, type=int, help="Width offset for image")
+                   help="W&B team/entity owning the project")
+    p.add_argument("--height_offset", "-ht", default=0, type=int, help="extra output height (multiple of the UNet downsample factor)")
+    p.add_argument("--width_offset", "-wd", default=0, type=int, help="extra output width (multiple of the UNet downsample factor)")
     p.add_argument("--use_augs", "-augs", action="store_true",
-                   help="Uses augmentations in the guidance cutouts")
+                   help="apply flip/affine/perspective/grayscale augs to guidance cutouts")
     p.add_argument("--use_magnitude", "-mag", action="store_true",
-                   help="Uses magnitude of the gradient")
-    p.add_argument("--quiet", "-q", action="store_true", help="Suppress output.")
+                   help="RMS-clamp the guidance gradient (auto-enabled at 64px)")
+    p.add_argument("--quiet", "-q", action="store_true", help="suppress progress output")
     p.add_argument("--save-as-gif", "-gif", action="store_true",
-                   help="Save output as high-quality GIF using ffmpeg. Deletes individual frames.")
+                   help="mux saved frames into a GIF with ffmpeg, then delete the frames")
     p.add_argument("--save-as-video", "-mp4", action="store_true",
-                   help="Save output as high-quality MP4 video using ffmpeg. Deletes individual frames.")
+                   help="mux saved frames into an MP4 with ffmpeg, then delete the frames")
     p.add_argument("--reduce-clip", "-reduce", action="store_true",
-                   help="Reduce CLIP guidance frequency for faster generation.")
+                   help="stage CLIP guidance (skip 20%%, every 4th step to 70%%) to generate faster")
     p.add_argument("--progressive-cutout", "-cutn_skip", action="store_true",
-                   help="Use fewer cutouts in early steps (4->8->16) for faster generation.")
+                   help="ramp the cutout count (cutn/4 -> cutn/2 -> cutn) across the schedule")
     p.add_argument("--cached-cutouts", "-cached_cutn", action="store_true",
-                   help="Cache cutout coordinates for reuse across steps.")
+                   help="sample cutout coordinates once and reuse them every step")
     # --- TPU-framework extras ---
     p.add_argument("--weights-mode", default="auto", choices=["auto", "random"],
                    help="'auto' downloads+converts checkpoints; 'random' uses random init (dev/bench)")
@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--log-losses", action="store_true",
                    help="print per-step guidance loss lines (costs a host sync per step)")
+    p.add_argument("--no-strict-parity", dest="strict_parity", action="store_false",
+                   help="fix reference quirks instead of replicating them: always save "
+                        "the final frame even with skip>0, CLIP-normalize image prompts, "
+                        "resize init images to the offset (non-square) shape")
     return p
 
 
@@ -147,6 +151,7 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         async_frames=True,  # CLI reads frames only after the loop (ffmpeg)
         log_losses=args.log_losses,
+        strict_parity=args.strict_parity,
     )
     list(enumerate(cgd_generator))  # drain the generator
 

@@ -92,13 +92,15 @@ ModelFn = Callable[..., jnp.ndarray]
 class GuidanceFns(NamedTuple):
     """Guidance = scalar loss + gradient post-transform.
 
-    loss_fn(params, rng, x, out: PMeanVariance, ref_t) -> scalar. The guided step
-    differentiates loss(x, out(x)) w.r.t. x THROUGH the UNet forward —
-    matching the fork's cond_fn_with_grad semantics where pred_xstart is on
-    the tape (SURVEY.md §2b: p_sample_with_grad re-enables grad on x before
-    p_mean_variance).
-    grad_transform(grad) -> grad (e.g. the use_magnitude RMS clamp,
-    cgd/cgd.py:229-232).
+    loss_fn(params, rng, x, out: PMeanVariance, ref_t) -> scalar, or
+    (scalar, log_dict) where log_dict maps names to f32 scalars for
+    observability (fetched at segment boundaries on backends without host
+    callbacks). The guided step differentiates loss(x, out(x)) w.r.t. x
+    THROUGH the UNet forward — matching the fork's cond_fn_with_grad
+    semantics where pred_xstart is on the tape (SURVEY.md §2b:
+    p_sample_with_grad re-enables grad on x before p_mean_variance).
+    grad_transform(grad) -> grad or (grad, log_dict) (e.g. the use_magnitude
+    RMS clamp + its Magnitude scalar, cgd/cgd.py:229-232).
     """
 
     loss_fn: Callable[..., jnp.ndarray]
@@ -119,14 +121,18 @@ def make_guided_step(
     model_fn: ModelFn,
     guidance: Optional[GuidanceFns],
     cfg: SamplerConfig,
+    with_log: bool = False,
 ):
     """Build the fused single-step function: UNet forward + p_mean_variance +
     value_and_grad of the guidance loss (one traced computation — forward is
     shared between the gradient tape and the sampling update).
 
     Returns step(params, x, t: int32 scalar, ref_t: int32 scalar, y, rng)
-      -> (x_next, pred_xstart, y_next). ``params`` is the model/guidance
-      weight pytree, threaded as a jit argument (see ModelFn note).
+      -> (x_next, pred_xstart, y_next), or with ``with_log``
+      -> (x_next, pred_xstart, y_next, log_dict) where log_dict holds the
+      guidance's f32 observability scalars ("Total Loss" etc.; empty when
+      unguided). ``params`` is the model/guidance weight pytree, threaded as
+      a jit argument (see ModelFn note).
     ``ref_t`` is the reference-bookkeeping timestep used by the guidance
     blend's `fac` lookup (cgd/cgd.py:177 quirk, SURVEY.md §3.1).
     """
@@ -144,14 +150,22 @@ def make_guided_step(
                 model_out, x_, t_batch, clip_denoised=cfg.clip_denoised
             )
 
+        log = {}
         if guidance is not None:
 
             def loss_and_out(x_):
                 out = forward(x_)
-                return guidance.loss_fn(params, r_guide, x_, out, ref_t), out
+                res = guidance.loss_fn(params, r_guide, x_, out, ref_t)
+                loss, llog = res if isinstance(res, tuple) else (res, {})
+                return loss, (out, llog)
 
-            grads, out = jax.grad(loss_and_out, has_aux=True)(x)
-            grad = guidance.grad_transform(-grads)  # negative gradient
+            grads, (out, log) = jax.grad(loss_and_out, has_aux=True)(x)
+            res = guidance.grad_transform(-grads)  # negative gradient
+            if isinstance(res, tuple):
+                grad, glog = res
+                log = {**log, **glog}
+            else:
+                grad = res
         else:
             out = forward(x)
             grad = None
@@ -166,6 +180,8 @@ def make_guided_step(
             x_next = diffusion.ddim_sample_step(out, x, t_batch, noise, grad, eta=cfg.eta)
         else:
             x_next = diffusion.p_sample_step(out, x, t_batch, noise, grad)
+        if with_log:
+            return x_next, out.pred_xstart, y, log
         return x_next, out.pred_xstart, y
 
     return step
@@ -190,11 +206,20 @@ def sample_loop(
     progress_cb: Optional[Callable[[int], None]] = None,
     noise_override=None,  # [n_steps, *shape]: recorded per-step noise (goldens)
     init_noise=None,  # [*shape]: recorded starting noise
+    final_frame_parity: bool = False,
+    loss_sink: Optional[Callable[[int, dict], None]] = None,
 ) -> Iterator[Tuple[int, jnp.ndarray]]:
     """Run the full guided sampling schedule, yielding (consumed_step_index,
     pred_xstart, x_t) at the reference's save points: every ``save_frequency``
     steps plus the final step (cgd/cgd.py:265-270 contract; x_t enables the
     reference's noisy/denoised/blended wandb triptych, cgd/cgd.py:180-186).
+
+    ``final_frame_parity`` replicates the reference's final-frame quirk
+    (cgd/cgd.py:268): the "always save the last step" condition is
+    ``current_timestep == -1``, with current_timestep counting down from the
+    FULL schedule length — so with skip_timesteps > 0 it never fires and the
+    final frame is only saved if it happens to land on a save_frequency
+    multiple. False (the fix) always saves the final step.
 
     Steps between save points with identical static metadata run inside a
     single lax.scan; a new (guided, cutn) phase or a save point starts a new
@@ -202,6 +227,12 @@ def sample_loop(
     static phases (≤3) times... no: segments are compiled per (length, meta)
     signature and cached by jit, so e.g. save_frequency=1 compiles one
     1-step scan per distinct meta, reused across all steps.
+
+    ``loss_sink(seg_start, logs)``: loss observability without host
+    callbacks (some tunneled PJRT backends reject them — CLAUDE.md trap #4):
+    guided steps stack their loss scalars as scan outputs, and the sink is
+    called after each segment with {name: np.ndarray[seg_len]} fetched at
+    the segment boundary (reference logs per step: cgd/cgd.py:234-238).
     """
     plan = build_step_plan(
         diffusion.num_timesteps, skip_timesteps, reduce_clip, progressive_cutout, num_cutouts
@@ -227,8 +258,10 @@ def sample_loop(
     # segment boundaries *after* each step whose index hits the save rule.
     save_at = set()
     for k in range(len(plan)):
-        if k % save_frequency == 0 or k == len(plan) - 1:
+        if k % save_frequency == 0:
             save_at.add(k)
+    if not final_frame_parity or skip_timesteps == 0:
+        save_at.add(len(plan) - 1)
 
     # jit cache keyed by (segment_len, guided, cutn)
     scan_cache = {}
@@ -249,30 +282,37 @@ def sample_loop(
             nz = jnp.zeros((len(seg),) + (1,) * len(shape), jnp.float32)  # unused
         if meta_key not in scan_cache:
             guidance = guidance_builder(seg[0]) if seg[0].guided else None
-            step = make_guided_step(diffusion, model_fn, guidance, cfg)
+            step = make_guided_step(
+                diffusion, model_fn, guidance, cfg, with_log=loss_sink is not None
+            )
 
             def scan_fn(params):
                 def body(carry, per_step):
                     x, y, rng, _last = carry
                     t, ref_t, nz_k = per_step
                     rng, r = jax.random.split(rng)
-                    x, pred_x0, y = step(
+                    res = step(
                         params, x, t, ref_t, y, r,
                         noise_override=nz_k if has_noise else None,
                     )
+                    if loss_sink is not None:
+                        x, pred_x0, y, log = res
+                    else:
+                        (x, pred_x0, y), log = res, {}
                     # carry only the latest pred_x0 — stacking per-step ys
                     # would write every step's x0 to HBM just to keep one
-                    return (x, y, rng, pred_x0), None
+                    # (log scalars are tiny: stacked as scan outputs)
+                    return (x, y, rng, pred_x0), log
 
                 return body
 
             @jax.jit
             def seg_fn(params, x, y, rng, ts, ref_ts, nz):
                 init = (x, y, rng, jnp.zeros_like(x))
-                (x, y, rng, last_pred), _ = jax.lax.scan(
+                (x, y, rng, last_pred), logs = jax.lax.scan(
                     scan_fn(params), init, (ts, ref_ts, nz)
                 )
-                return x, y, rng, last_pred
+                return x, y, rng, last_pred, logs
 
             scan_cache[meta_key] = seg_fn
         return scan_cache[meta_key](params, x, y, rng, ts, ref_ts, nz)
@@ -301,9 +341,13 @@ def sample_loop(
     for (k, seg), r in zip(segments, seg_keys):
         # y must be a concrete array for scan carry; use dummy when uncond
         y_in = y if y is not None else jnp.zeros((shape[0],), jnp.int32)
-        x, y_out, _, pred_x0 = run_segment(params, x, y_in, r, seg, k)
+        x, y_out, _, pred_x0, logs = run_segment(params, x, y_in, r, seg, k)
         if y is not None:
             y = y_out
+        if loss_sink is not None and seg[0].guided and logs:
+            # one device->host fetch per segment (the whole point: loss
+            # observability without per-step host callbacks)
+            loss_sink(k, {name: np.asarray(v) for name, v in logs.items()})
         last_k = k + len(seg) - 1
         if last_k in save_at:
             yield last_k, pred_x0, x

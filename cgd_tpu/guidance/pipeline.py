@@ -175,22 +175,24 @@ def make_guidance_builder(
             if loss_callback is not None:
                 # per-step loss observability (reference: tqdm.write +
                 # wandb.log every step, cgd/cgd.py:234-238). Host callback —
-                # costs a device->host sync per step; opt-in.
+                # costs a device->host sync per step; opt-in. Backends that
+                # reject host callbacks use the sampler's loss_sink path
+                # instead (log is also returned below).
                 jax.debug.callback(loss_callback, log)
-            return loss
+            return loss, log
 
         def grad_transform(grad):
+            # reference logs the final guidance gradient mean + magnitude
+            # per step (cgd/cgd.py:229-233)
             log = {}
             if settings.use_magnitude:
                 rms = jnp.sqrt(jnp.mean(jnp.square(grad)))
                 log["Magnitude"] = rms
                 grad = grad * jnp.clip(rms, max=0.05) / jnp.maximum(rms, 1e-12)
+            log["Grad"] = jnp.mean(grad)
             if loss_callback is not None:
-                # reference logs the final guidance gradient mean + magnitude
-                # per step (cgd/cgd.py:229-233)
-                log["Grad"] = jnp.mean(grad)
                 jax.debug.callback(loss_callback, log)
-            return grad
+            return grad, log
 
         return GuidanceFns(loss_fn, grad_transform)
 

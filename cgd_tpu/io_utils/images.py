@@ -62,13 +62,15 @@ def flush_frames() -> None:
     native_frameio.flush()
 
 
-def load_image_rgb(path_or_url, size: int) -> np.ndarray:
-    """Open local path or URL, RGB, resize to (size,size), return [-1,1]
-    float32 HWC (reference init-image handling: cgd/cgd.py:116-120)."""
+def load_image_rgb(path_or_url, size) -> np.ndarray:
+    """Open local path or URL, RGB, resize to (size,size) — or (w,h) when
+    ``size`` is a tuple — return [-1,1] float32 HWC (reference init-image
+    handling: cgd/cgd.py:116-120)."""
     from PIL import Image
 
     from cgd_tpu.io_utils.download import fetch
 
-    pil = Image.open(fetch(path_or_url)).convert("RGB").resize((size, size))
+    wh = (size, size) if isinstance(size, int) else tuple(size)
+    pil = Image.open(fetch(path_or_url)).convert("RGB").resize(wh)
     arr = np.asarray(pil, dtype=np.float32) / 255.0
     return arr * 2.0 - 1.0

@@ -79,7 +79,58 @@ class TestAPI:
             progress=False,
         )
         results = list(gen)
-        assert len(results) == 2  # step 0 + final step 4
+        # strict parity (default): the reference's final-frame condition
+        # (current_timestep == -1, cgd/cgd.py:268) never fires when skip>0,
+        # so only step 0 is saved with save_frequency=100
+        assert len(results) == 1
+
+    def test_init_image_and_skip_no_parity_saves_final(self, tmp_path):
+        from PIL import Image
+
+        from cgd_tpu.api import clip_guided_diffusion
+
+        init = tmp_path / "init.png"
+        Image.fromarray(np.full((32, 32, 3), 128, np.uint8)).save(init)
+        gen = clip_guided_diffusion(
+            prompts=["x"],
+            image_size=64,
+            timestep_respacing="ddim10",
+            skip_timesteps=5,
+            init_image=str(init),
+            num_cutouts=2,
+            save_frequency=100,
+            weights_mode="random",
+            prefix_path=tmp_path / "out",
+            progress=False,
+            strict_parity=False,
+        )
+        results = list(gen)
+        assert len(results) == 2  # step 0 + final step 4 (the fix)
+
+    def test_init_image_with_offsets(self, tmp_path):
+        """Reference latent bug (cgd/cgd.py:118 vs :252): square init resize
+        + offset sample shape. strict_parity raises a clear error; the
+        non-parity mode resizes the init to the offset shape and runs."""
+        from PIL import Image
+
+        from cgd_tpu.api import clip_guided_diffusion
+
+        init = tmp_path / "init.png"
+        Image.fromarray(np.full((32, 48, 3), 100, np.uint8)).save(init)
+        common = dict(
+            prompts=["x"], image_size=64, timestep_respacing="ddim10",
+            skip_timesteps=5, init_image=str(init), num_cutouts=2,
+            save_frequency=100, weights_mode="random",
+            prefix_path=tmp_path / "out", progress=False, height_offset=16,
+        )
+        with pytest.raises(ValueError, match="strict_parity"):
+            list(clip_guided_diffusion(**common))
+        results = list(clip_guided_diffusion(**common, strict_parity=False))
+        assert len(results) >= 1
+        from PIL import Image as I
+
+        w, h = I.open(results[0][1]).size
+        assert (w, h) == (64, 80)
 
 
 class TestCLI:
@@ -109,7 +160,22 @@ class TestCLI:
         pngs = []
         for root, _, files in os.walk(tmp_path / "o"):
             pngs += [f for f in files if f.endswith(".png")]
-        # reduce-clip skips 20% of 25 steps -> 20 steps -> saves 0000 + final 0019
+        # reduce-clip skips 20% of 25 steps -> 20 steps run. Strict parity
+        # (default): the reference's final-frame condition never fires with
+        # skip>0, so only step 0 is saved at save_frequency=100.
+        assert sorted(pngs) == ["0000.png"]
+
+    def test_reduce_clip_no_parity_saves_final(self, tmp_path):
+        from cgd_tpu.cli import main
+
+        main([
+            "-txts", "r", "-size", "64", "-respace", "ddim25", "-cutn", "2",
+            "-freq", "100", "--weights-mode", "random", "-dir", str(tmp_path / "o"),
+            "-q", "-reduce", "--no-strict-parity",
+        ])
+        pngs = []
+        for root, _, files in os.walk(tmp_path / "o"):
+            pngs += [f for f in files if f.endswith(".png")]
         assert sorted(pngs) == ["0000.png", "0019.png"]
 
     def test_parser_covers_reference_flags(self):
@@ -160,3 +226,100 @@ class TestImagePrompts:
         )
         results = list(gen)
         assert len(results) == 2
+
+    def test_image_prompt_normalization_modes(self, tmp_path):
+        """strict_parity replicates the reference's F.normalize (channel-L2)
+        on image-prompt cutouts (cgd/clip_util.py:100); the fix uses CLIP
+        mean/std. The two must produce different embeddings."""
+        import jax
+
+        from cgd_tpu.api import _encode_image_prompt
+        from cgd_tpu.models.clip import init_clip
+        from cgd_tpu.models.clip.configs import CLIPConfig, TextConfig, VisionViTConfig
+        from PIL import Image
+
+        cfg = CLIPConfig(
+            name="tiny", embed_dim=32,
+            vision=VisionViTConfig(32, 8, 32, 2, 2),
+            text=TextConfig(width=32, heads=2, layers=2),
+        )
+        params = init_clip(jax.random.PRNGKey(0), cfg)
+        imgp = tmp_path / "p.png"
+        Image.fromarray(
+            (np.random.RandomState(1).rand(40, 40, 3) * 255).astype(np.uint8)
+        ).save(imgp)
+        rng = jax.random.PRNGKey(2)
+        emb_parity, w1 = _encode_image_prompt(
+            params, cfg, str(imgp), 0.5, 64, 4, rng, strict_parity=True
+        )
+        emb_fixed, w2 = _encode_image_prompt(
+            params, cfg, str(imgp), 0.5, 64, 4, rng, strict_parity=False
+        )
+        assert w1 == w2 == [0.125] * 4
+        assert np.isfinite(emb_parity).all() and np.isfinite(emb_fixed).all()
+        assert np.abs(emb_parity - emb_fixed).max() > 1e-4
+
+
+class TestLossObservability:
+    def test_segment_boundary_loss_sink(self, tmp_path, monkeypatch, capsys):
+        """--log-losses on callback-less backends (axon) pulls loss scalars
+        as scan outputs at segment boundaries instead of disabling."""
+        import cgd_tpu.api as api
+
+        monkeypatch.setattr(api, "_host_callbacks_supported", lambda: False)
+        gen = api.clip_guided_diffusion(
+            prompts=["obs"],
+            image_size=64,
+            timestep_respacing="ddim10",
+            num_cutouts=2,
+            save_frequency=5,
+            weights_mode="random",
+            prefix_path=tmp_path / "out",
+            progress=False,
+            log_losses=True,
+        )
+        results = list(gen)
+        assert len(results) == 3  # steps 0, 5, 9
+        outp = capsys.readouterr().out
+        # one loss line per guided step, with the reference's loss names
+        lines = [l for l in outp.splitlines() if l.startswith("step ")]
+        assert len(lines) == 10
+        assert "Total Loss" in lines[0] and "CLIP Loss" in lines[0]
+        assert "TV Loss" in lines[0] and "Range Loss" in lines[0]
+
+    def test_sampler_loss_sink_direct(self):
+        """sample_loop's loss_sink receives per-step stacked scalars."""
+        import jax
+        import jax.numpy as jnp
+
+        from cgd_tpu.diffusion import make_diffusion
+        from cgd_tpu.diffusion.sampler import (
+            GuidanceFns,
+            SamplerConfig,
+            sample_loop,
+        )
+
+        d = make_diffusion(steps=100, timestep_respacing="10")
+
+        def model_fn(params, x, t_model, rng, y):
+            return jnp.concatenate([jnp.zeros_like(x), jnp.zeros_like(x)], -1)
+
+        def builder(meta):
+            def loss_fn(p, rng, x, out, ref_t):
+                # small scale: an unbounded toy loss diverges the trajectory
+                loss = 1e-6 * jnp.sum(out.pred_xstart**2)
+                return loss, {"Total Loss": loss}
+
+            return GuidanceFns(loss_fn, lambda g: g)
+
+        seen = []
+        outs = list(sample_loop(
+            d, model_fn, builder, {}, (1, 16, 16, 3), jax.random.PRNGKey(0),
+            SamplerConfig(use_ddim=True), save_frequency=4,
+            loss_sink=lambda k, logs: seen.append((k, logs)),
+        ))
+        assert [o[0] for o in outs] == [0, 4, 8, 9]
+        ks = [k for k, _ in seen]
+        steps_logged = sum(len(l["Total Loss"]) for _, l in seen)
+        assert steps_logged == 10 and ks[0] == 0
+        assert all(np.isfinite(l["Total Loss"]).all() for _, l in seen)

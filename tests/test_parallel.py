@@ -63,14 +63,15 @@ class TestGraftEntry:
         g.dryrun_multichip(8)
 
     def test_entry_is_jittable_tiny(self):
-        # entry() uses the real 64px architecture — too slow to *execute* on
-        # CPU CI, but it must at least abstractly trace (shape-level check).
+        # entry() uses the real 256px headline architecture — too slow to
+        # *execute* on CPU CI, but it must at least abstractly trace
+        # (shape-level check).
         import __graft_entry__ as g
 
         fn, args = g.entry()
         out_shapes = jax.eval_shape(fn, *args)
-        assert out_shapes[0].shape == (1, 64, 64, 3)
-        assert out_shapes[1].shape == (1, 64, 64, 3)
+        assert out_shapes[0].shape == (1, 256, 256, 3)
+        assert out_shapes[1].shape == (1, 256, 256, 3)
 
     def test_spatial_sharding_matches_unsharded(self, mesh8):
         """Height-sharded UNet forward == replicated forward (halo exchanges

@@ -134,6 +134,26 @@ class TestSampleLoop:
         # 10 steps run; only k=0 and final k=9 saved
         assert [o[0] for o in outs] == [0, 9]
 
+    def test_final_frame_parity_with_skip(self):
+        """Reference quirk (cgd/cgd.py:268): with skip>0 the final frame is
+        only saved when it lands on a save_frequency multiple."""
+        model_fn = tiny_model()
+        d = make_diffusion(steps=1000, timestep_respacing="20")
+        cfg = SamplerConfig(use_ddim=True)
+        kw = dict(save_frequency=100, skip_timesteps=10,
+                  init_image=jnp.full((1, 16, 16, 3), 0.5))
+        outs = list(sample_loop(
+            d, model_fn, lambda m: None, {}, (1, 16, 16, 3),
+            jax.random.PRNGKey(2), cfg, final_frame_parity=True, **kw,
+        ))
+        assert [o[0] for o in outs] == [0]  # k=9 dropped, as the reference does
+        # with skip == 0 the parity flag changes nothing (condition fires)
+        outs = list(sample_loop(
+            d, model_fn, lambda m: None, {}, (1, 16, 16, 3),
+            jax.random.PRNGKey(2), cfg, save_frequency=100, final_frame_parity=True,
+        ))
+        assert [o[0] for o in outs] == [0, 19]
+
     def test_deterministic_given_key(self):
         model_fn = tiny_model()
         d = make_diffusion(steps=1000, timestep_respacing="ddim10")

@@ -1,0 +1,122 @@
+"""Profile one 256px guided step on the TPU and print the per-op breakdown.
+
+Captures a jax.profiler device trace of a few compiled guided steps, then
+parses the xplane with xprof/tensorboard_plugin_profile to rank HLO ops by
+self time. Drives the PERF.md optimization backlog (which ops to fuse or
+replace with Pallas kernels).
+
+Usage: python tools/profile_step.py [--size 256] [--cutn 16] [--steps 4]
+"""
+
+import argparse
+import glob
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_step(size, cutn, clip_name="ViT-B/32"):
+    from cgd_tpu.diffusion import make_diffusion
+    from cgd_tpu.diffusion.sampler import SamplerConfig, StepMeta, make_guided_step
+    from cgd_tpu.guidance.pipeline import GuidanceSettings, make_guidance_builder
+    from cgd_tpu.models.unet import apply_unet
+    from cgd_tpu.weights import resolve_clip, resolve_unet
+
+    clip_params, clip_cfg = resolve_clip(clip_name, mode="random")
+    unet_params, unet_cfg, flags = resolve_unet(size, True, mode="random")
+    diffusion = make_diffusion(1000, flags.get("noise_schedule", "linear"), "ddim250")
+
+    target = np.random.RandomState(2).randn(1, clip_cfg.embed_dim).astype(np.float32)
+    weights = np.ones((1,), np.float32)
+
+    def model_fn(params, x, t_model, rng, y):
+        return apply_unet(params["unet"], unet_cfg, x, t_model, y, compute_dtype=jnp.bfloat16)
+
+    builder = make_guidance_builder(clip_cfg, target, weights, diffusion, GuidanceSettings())
+    step = make_guided_step(
+        diffusion, model_fn, builder(StepMeta(t=0, guided=True, cutn=cutn)),
+        SamplerConfig(use_ddim=True, randomize_class=True),
+    )
+    params = {"unet": unet_params, "clip": clip_params}
+    return step, params
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--cutn", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--top", type=int, default=45)
+    ap.add_argument("--trace-dir", default="/tmp/cgd_profile")
+    args = ap.parse_args()
+
+    from cgd_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    step, params = build_step(args.size, args.cutn)
+
+    @jax.jit
+    def one(params, x, y, key):
+        x2, px, y2 = step(params, x, jnp.int32(125), jnp.int32(249), y, key)
+        return x2, y2
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, args.size, args.size, 3), jnp.float32)
+        y = jnp.zeros((1,), jnp.int32)
+    x = jax.device_put(x, jax.devices()[0])
+    y = jax.device_put(y, jax.devices()[0])
+
+    log("compiling single guided step...")
+    t0 = time.time()
+    x1, y1 = one(params, x, y, jax.random.PRNGKey(1))
+    _ = float(jnp.sum(x1))  # fetch-forced completion (axon trap #3)
+    log(f"compile+first: {time.time() - t0:.1f}s")
+
+    # timed, untraced (steady state)
+    t0 = time.time()
+    xs, ys = x1, y1
+    for i in range(args.steps):
+        xs, ys = one(params, xs, ys, jax.random.PRNGKey(2 + i))
+    _ = float(jnp.sum(xs))
+    per = (time.time() - t0) / args.steps
+    log(f"steady per-step (fetch-forced, n={args.steps}): {per * 1e3:.1f} ms")
+
+    log("tracing...")
+    with jax.profiler.trace(args.trace_dir):
+        xs2, ys2 = x1, y1
+        for i in range(args.steps):
+            xs2, ys2 = one(params, xs2, ys2, jax.random.PRNGKey(100 + i))
+        _ = float(jnp.sum(xs2))
+
+    planes = sorted(glob.glob(f"{args.trace_dir}/**/*.xplane.pb", recursive=True))
+    if not planes:
+        log("no xplane captured (remote backend may not support device tracing)")
+        return
+    log(f"xplane: {planes[-1]}")
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+        data, _ = rtd.xspace_to_tool_data([planes[-1]], "hlo_stats^", {})
+    except Exception as e:
+        log(f"hlo_stats failed ({e}); trying op_stats")
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+        data, _ = rtd.xspace_to_tool_data([planes[-1]], "framework_op_stats^", {})
+    out = json.loads(data) if isinstance(data, (str, bytes)) else data
+    # hlo_stats is a gviz table json; print top rows by self time
+    print(json.dumps(out)[:400], file=sys.stderr)
+    with open("/tmp/cgd_profile/hlo_stats.json", "w") as f:
+        f.write(data if isinstance(data, str) else json.dumps(out))
+    log("wrote /tmp/cgd_profile/hlo_stats.json")
+
+
+if __name__ == "__main__":
+    main()
