@@ -47,10 +47,10 @@ class GuidanceSettings:
     use_augs: bool = False
     cutout_power: float = 1.0
     clip_compute_dtype: str = "bfloat16"
-    # Pallas fused cutout kernel: "never" (default — the einsum path measures
-    # ~1.5ms/step at 256px and the kernel currently trips Mosaic scoped-VMEM
-    # at full operand sizes), "auto" (TPU single-device, no augs), "always".
-    pallas_cutouts: str = "never"
+    # NOTE r1/r2: a fused Pallas cutout kernel was built, measured, and
+    # removed — the einsum path costs only ~1.5 ms/step at 256px (already
+    # MXU matmuls) and the kernel tripped Mosaic scoped-VMEM staging at full
+    # operand sizes (negative result recorded in PERF.md).
 
 
 def make_guidance_builder(
@@ -75,15 +75,6 @@ def make_guidance_builder(
     When ``mesh`` is given, the cutout batch is sharded across all mesh
     devices (see cgd_tpu.parallel.mesh) — XLA then all-reduces the guidance
     gradient over the cutout shards."""
-    if settings.pallas_cutouts == "always" and (settings.use_augs or mesh is not None):
-        # The fused kernel implements crop+resize+normalize only: it cannot
-        # apply augment_cutouts or the mesh sharding constraint, so honoring
-        # "always" here would silently change the requested guidance.
-        raise ValueError(
-            "pallas_cutouts='always' is incompatible with use_augs=True or a "
-            "device mesh (the fused kernel skips augmentations and sharding); "
-            "use pallas_cutouts='auto' or 'never'"
-        )
     clip_size = clip_cfg.input_resolution
     # IMPORTANT: closure constants must be NUMPY, not device arrays — a
     # device-resident constant makes MLIR lowering fetch ._value from the
@@ -118,30 +109,14 @@ def make_guidance_builder(
                 spec = sample_cutout_coords(
                     r_coords, cutn, side_x, side_y, clip_size, settings.cutout_power
                 )
-            use_pallas = settings.pallas_cutouts == "always" or (
-                settings.pallas_cutouts == "auto"
-                and jax.default_backend() == "tpu"
-                and mesh is None
-                and not settings.use_augs
-            )
-            if use_pallas:
-                from cgd_tpu.guidance.cutouts import _box_weights
-                from cgd_tpu.kernels.cutouts_pallas import fused_cutouts_normalize
+            cuts = make_cutouts((x_in + 1.0) / 2.0, spec, clip_size)  # [K*B,c,c,3]
+            if settings.use_augs:
+                cuts = augment_cutouts(r_augs, cuts)
+            cuts = (cuts - mean) / std
+            if mesh is not None:
+                from cgd_tpu.parallel.mesh import cutout_sharding
 
-                wy = _box_weights(spec.offset_y, spec.size, x.shape[1], clip_size)
-                wx = _box_weights(spec.offset_x, spec.size, x.shape[2], clip_size)
-                cuts = fused_cutouts_normalize(
-                    (x_in + 1.0) / 2.0, wy, wx, mean[None], std[None]
-                )
-            else:
-                cuts = make_cutouts((x_in + 1.0) / 2.0, spec, clip_size)  # [K*B,c,c,3]
-                if settings.use_augs:
-                    cuts = augment_cutouts(r_augs, cuts)
-                cuts = (cuts - mean) / std
-                if mesh is not None:
-                    from cgd_tpu.parallel.mesh import cutout_sharding
-
-                    cuts = jax.lax.with_sharding_constraint(cuts, cutout_sharding(mesh))
+                cuts = jax.lax.with_sharding_constraint(cuts, cutout_sharding(mesh))
 
             embeds = encode_image(params["clip"], clip_cfg, cuts, compute_dtype=compute_dtype)
             embeds = embeds.reshape(cutn, b, -1)

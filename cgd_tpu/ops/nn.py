@@ -91,26 +91,38 @@ def dense(params, x: jnp.ndarray) -> jnp.ndarray:
 def group_norm(params, x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
     """GroupNorm over channels-last input.
 
-    Fully float32 internally (the GroupNorm32 contract, ext
-    guided_diffusion/nn.py, SURVEY.md §2b), cast back to the input dtype.
-    NOTE: a variant doing the elementwise apply in bf16 was measured SLOWER
-    on v5e (42.7 vs 40.4 ms UNet-256 fwd) — XLA fuses this pattern better."""
+    Statistics and the normalization arithmetic are float32 (the GroupNorm32
+    contract, ext guided_diffusion/nn.py, SURVEY.md §2b) but the full-size
+    tensor is NEVER materialized in f32: stats accumulate in f32 straight
+    from the (bf16) input in one fused pass (E[x^2]-E[x]^2), and the apply
+    pass reads bf16/writes bf16 with the f32 math fused per element. The
+    round-1 variant cast x to f32 up front, which made XLA materialize and
+    re-read full f32 copies at the 256^2x512 decoder levels (~2 ms per GN
+    stats pass at 634 GB/s, hlo_stats r2 profile); this version halves that
+    HBM traffic.
+    """
     orig_dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    c = x32.shape[-1]
+    c = x.shape[-1]
     # Real ADM channel counts are all multiples of 32; shrink groups only for
     # tiny test configs.
     while c % num_groups:
         num_groups //= 2
-    shape = x32.shape[:-1] + (num_groups, c // num_groups)
-    g = x32.reshape(shape)
+    shape = x.shape[:-1] + (num_groups, c // num_groups)
+    g = x.reshape(shape)
     reduce_axes = tuple(range(1, g.ndim - 2)) + (g.ndim - 1,)
-    mean = g.mean(axis=reduce_axes, keepdims=True)
-    var = g.var(axis=reduce_axes, keepdims=True)
-    g = (g - mean) * jax.lax.rsqrt(var + eps)
-    x32 = g.reshape(x32.shape)
-    x32 = x32 * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
-    return x32.astype(orig_dtype)
+    # one fused pass over bf16 data, f32 accumulation, two tiny outputs
+    mean = jnp.mean(g, axis=reduce_axes, keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(
+        jnp.square(g.astype(jnp.float32)), axis=reduce_axes, keepdims=True,
+        dtype=jnp.float32,
+    )
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    # second pass: bf16 in -> f32 elementwise (fused, never stored) -> bf16 out
+    g = (g.astype(jnp.float32) - mean) * inv
+    out = g.reshape(x.shape)
+    out = out * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return out.astype(orig_dtype)
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:

@@ -175,39 +175,3 @@ class TestPrompts:
     def test_split(self):
         assert split_prompts("a|b:0.5|c") == ["a", "b:0.5", "c"]
         assert split_prompts("") == []
-
-
-class TestPipelineSettings:
-    def test_pallas_always_rejects_augs_and_mesh(self):
-        """pallas_cutouts='always' cannot honor augment_cutouts or mesh
-        sharding — combining them must fail loudly, not silently diverge."""
-        from cgd_tpu.diffusion import make_diffusion
-        from cgd_tpu.guidance.pipeline import GuidanceSettings, make_guidance_builder
-        from cgd_tpu.models.clip.configs import CLIPConfig, TextConfig, VisionViTConfig
-        from cgd_tpu.parallel.mesh import make_mesh
-
-        cfg = CLIPConfig(
-            name="tiny", embed_dim=16,
-            vision=VisionViTConfig(32, 8, 32, 1, 1),
-            text=TextConfig(width=32, heads=1, layers=1),
-        )
-        d = make_diffusion(100, "linear", "10")
-        target = np.zeros((1, 16), np.float32)
-        weights = np.ones((1,), np.float32)
-
-        with pytest.raises(ValueError, match="pallas_cutouts"):
-            make_guidance_builder(
-                cfg, target, weights, d,
-                GuidanceSettings(use_augs=True, pallas_cutouts="always"),
-            )
-        mesh = make_mesh(jax.devices()[:2])
-        with pytest.raises(ValueError, match="pallas_cutouts"):
-            make_guidance_builder(
-                cfg, target, weights, d,
-                GuidanceSettings(pallas_cutouts="always"), mesh=mesh,
-            )
-        # 'auto' with the same combination is fine (the gate excludes them)
-        make_guidance_builder(
-            cfg, target, weights, d,
-            GuidanceSettings(use_augs=True, pallas_cutouts="auto"),
-        )
