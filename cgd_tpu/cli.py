@@ -164,13 +164,18 @@ def main(argv=None):
     from cgd_tpu.io_utils.images import clean_and_combine_prompts
     from cgd_tpu.io_utils.video import create_gif_ffmpeg, create_video_ffmpeg
 
+    # The reference deletes frames even when the mux fails (cgd/cgd.py:415-430
+    # deletes unconditionally after create_*_ffmpeg) — that loses every output
+    # on a box without ffmpeg, so deletion here additionally requires that all
+    # requested muxes actually produced a file.
     delete_frames = args.save_as_gif or args.save_as_video
     for batch_idx in range(args.batch_size):
+        muxed = []
         if args.save_as_gif:
-            create_gif_ffmpeg(prefix_path, prompts, batch_idx, delete_frames=False)
+            muxed.append(create_gif_ffmpeg(prefix_path, prompts, batch_idx, delete_frames=False))
         if args.save_as_video:
-            create_video_ffmpeg(prefix_path, prompts, batch_idx, delete_frames=False)
-        if delete_frames:
+            muxed.append(create_video_ffmpeg(prefix_path, prompts, batch_idx, delete_frames=False))
+        if delete_frames and all(m is not None for m in muxed):
             io_safe_prompts = clean_and_combine_prompts(prefix_path, prompts, batch_idx)
             image_files = sorted(glob.glob(f"{io_safe_prompts}/*.png"))
             for f in image_files:

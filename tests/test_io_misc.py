@@ -66,18 +66,53 @@ class TestVideo:
         out = capsys.readouterr().out
         assert "No images found" in out
 
-    def test_missing_ffmpeg_is_graceful(self, tmp_path, capsys, monkeypatch):
+    def _frame_dir(self, tmp_path, tag):
         from PIL import Image
 
         from cgd_tpu.io_utils.images import clean_and_combine_prompts
+
+        d = clean_and_combine_prompts(tmp_path, [tag], 0)
+        os.makedirs(d)
+        for i in range(3):
+            Image.new("RGB", (16, 16), (i * 60, 0, 0)).save(os.path.join(d, f"{i:04d}.png"))
+        return d
+
+    def test_missing_ffmpeg_falls_back_to_cv2_mp4(self, tmp_path, capsys, monkeypatch):
         from cgd_tpu.io_utils.video import create_video_ffmpeg
 
-        d = clean_and_combine_prompts(tmp_path, ["v"], 0)
-        os.makedirs(d)
-        Image.new("RGB", (8, 8)).save(os.path.join(d, "0000.png"))
+        self._frame_dir(tmp_path, "v")
         monkeypatch.setenv("PATH", "/nonexistent")
-        assert create_video_ffmpeg(tmp_path, ["v"], 0) is None
-        assert "ffmpeg" in capsys.readouterr().out
+        out = create_video_ffmpeg(tmp_path, ["v"], 0)
+        assert out is not None and out.endswith(".mp4")
+        assert os.path.getsize(out) > 0
+        assert "fallback" in capsys.readouterr().out
+
+    def test_missing_ffmpeg_falls_back_to_pil_gif(self, tmp_path, capsys, monkeypatch):
+        from PIL import Image
+
+        from cgd_tpu.io_utils.video import create_gif_ffmpeg
+
+        self._frame_dir(tmp_path, "g")
+        monkeypatch.setenv("PATH", "/nonexistent")
+        out = create_gif_ffmpeg(tmp_path, ["g"], 0)
+        assert out is not None and out.endswith(".gif")
+        with Image.open(out) as im:
+            assert getattr(im, "n_frames", 1) == 3
+        assert "fallback" in capsys.readouterr().out
+
+    def test_failed_mux_keeps_frames(self, tmp_path, monkeypatch):
+        # CLI-level contract: when every encoder path fails, the frames are
+        # NOT deleted (deviation from the reference's unconditional delete,
+        # cgd/cgd.py:415-430 — data-loss fix, see cli.py).
+        import glob as _glob
+
+        from cgd_tpu.io_utils.video import create_video_ffmpeg
+
+        d = self._frame_dir(tmp_path, "k")
+        monkeypatch.setenv("PATH", "/nonexistent")
+        monkeypatch.setattr("cgd_tpu.io_utils.video._mp4_fallback", lambda *a: None)
+        assert create_video_ffmpeg(tmp_path, ["k"], 0, delete_frames=True) is None
+        assert len(_glob.glob(os.path.join(d, "*.png"))) == 3
 
 
 class TestResample:
@@ -92,10 +127,15 @@ class TestResample:
     def test_downscale_antialiased(self):
         from cgd_tpu.ops.resample import resize
 
-        # a 1px checkerboard downscaled 4x must average toward 0.5, not alias
+        # a 1px checkerboard downscaled 4x must average toward 0.5, not
+        # alias. Border rows legitimately sag below 0.5: ResizeRight
+        # zero-pads out-of-range taps (resize_right.py pad_mode='constant'),
+        # and the oracle itself deviates up to 0.099 there — so assert the
+        # interior only (oracle interior max dev: 0.036).
         img = jnp.zeros((32, 32, 1)).at[::2, :].set(1.0)
-        out = resize(img, (8, 8))
-        np.testing.assert_allclose(np.asarray(out), 0.5, atol=0.05)
+        out = np.asarray(resize(img, (8, 8)))
+        np.testing.assert_allclose(out[1:-1, 1:-1], 0.5, atol=0.05)
+        np.testing.assert_allclose(out, 0.5, atol=0.11)
 
 
 class TestZeroShot:
