@@ -5,10 +5,12 @@ space-to-batch pass — the MXU work itself runs at ~193 TF/s, but the
 surrounding plumbing (pad / slice / layout copies) costs ~25 ms per guided
 step at the 256px operating point (hlo_stats r2 profile: "data formatting"
 22.5% + copy 6.8% + slice 3.2% + pad 1.6% of step time). This kernel
-computes the convolution in place on the NHWC layout: the halo'd input rows
-are DMA'd HBM->VMEM per tile and the 3x3 taps become nine
-[TH*W, Cin] x [Cin, TCO] MXU matmuls accumulated in f32 — no layout
-conversion, no space-to-batch glue, bias fused into the output write.
+computes the convolution in place on the NHWC layout: overlapping halo'd
+row windows stream HBM->VMEM through the normal Pallas pipeline
+(`pl.Element` windows — the remote Mosaic compiler rejects manual
+multi-dim-strided DMAs from HBM refs, bisected 2026-08-16), and the 3x3
+taps become nine [TH*W, Cin] x [Cin, TCO] MXU matmuls accumulated in f32 —
+no space-to-batch, no layout conversion, bias fused into the output write.
 
 Every 3x3 conv in the real ADM checkpoints is stride-1 pad-1 (downsampling
 is avg-pool inside ResBlocks, resblock_updown flags in
@@ -29,145 +31,102 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax._src.pallas import core as pallas_core
 from jax.experimental.pallas import tpu as pltpu
 
+_W_BYTES_BUDGET = 4 * 1024 * 1024  # per-block weight bytes (double-buffered)
 
-def _pick_tiles(h: int, w: int, cin: int, cout: int):
-    """Choose (row tile TH, cout tile TCO, cin tile TCI) under a VMEM budget.
 
-    VMEM use ~= 2*(TH+2)*(W+2)*TCI*2B (double-buffered input)
-              + 3*3*TCI*TCO*2B (weights) + TH*W*TCO*4B (f32 acc).
-    """
-    tco = min(cout, 256)
-    tci = min(cin, 512)
-    budget = 10 * 1024 * 1024
-    th = min(h, 8)
-    while True:
-        use = (
-            2 * (th + 2) * (w + 2) * tci * 2
-            + 9 * tci * tco * 2
-            + th * w * tco * 4
-            + th * w * tco * 2
-        )
-        if use <= budget or (tci <= 128 and tco <= 128 and th <= 8):
+def _pick_tco(cin: int, cout: int) -> int | None:
+    """Largest legal Cout tile: divides cout, is a multiple of 128 (Mosaic
+    last-dim block rule) or the full cout, and keeps the [3,3,Cin,TCO]
+    weight block under the VMEM budget."""
+    cands = [c for c in (512, 384, 256, 128) if c % 128 == 0]
+    for c in [cout] + cands:
+        if c <= cout and cout % c == 0 and (c % 128 == 0 or c == cout):
+            if 9 * cin * c * 2 <= _W_BYTES_BUDGET:
+                return c
+    return None
+
+
+def _pick_th(h: int, w: int, cin: int, tco: int) -> int:
+    """Row-window height: big enough that the [TH*W, Cin] matmul fills the
+    MXU, small enough that x window + f32 acc fit VMEM comfortably."""
+    th = 8
+    while th < h and th * w < 2048:
+        nth = th * 2
+        if h % nth != 0:
             break
-        if tci > 128:
-            tci //= 2
-        elif tco > 128:
-            tco //= 2
-        else:
-            th = max(1, th // 2)
-    # grow TH while budget allows (bigger matmuls amortize better)
-    while th < h:
-        nth = min(h, th * 2)
-        use = (
-            2 * (nth + 2) * (w + 2) * tci * 2
-            + 9 * tci * tco * 2
-            + nth * w * tco * 4
-            + nth * w * tco * 2
-        )
-        if use > budget or nth * w > 4096:
+        use = 2 * (nth + 2) * (w + 2) * cin * 2 + nth * w * tco * 6
+        if use > 8 * 1024 * 1024:
             break
         th = nth
-    return th, tco, tci
+    return th
 
 
-def _conv_kernel(x_hbm, w_ref, b_ref, out_ref, xt, acc, sem, *, th, w_dim, tci, n_ci):
-    """Grid: (B, H/TH, Cout/TCO, Cin/TCI). x stays in HBM; rows DMA'd here."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    k = pl.program_id(3)
+def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, th, w_dim, cin):
+    """One program: rows [i*TH, i*TH+TH) of one batch, one Cout tile.
 
-    # halo'd row block: rows [i*TH, i*TH + TH+2) of the pre-padded input
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * th, th + 2), :, pl.ds(k * tci, tci)], xt, sem
-    )
-    dma.start()
-
-    @pl.when(k == 0)
-    def _():
-        acc[:] = jnp.zeros_like(acc)
-
-    dma.wait()
-
-    # nine taps as 2-D MXU matmuls. The halo'd block is reshaped once per dx
-    # shift ((th+2, w+2) rows collapse to sublanes; lanes stay Cin), then each
-    # dy offset is a contiguous row-slice of the collapsed view.
-    tco = acc.shape[-1]
-    partial = jnp.zeros((th * w_dim, tco), jnp.float32)
+    x_ref is the (TH+2, W+2, Cin) halo window of the host-padded input;
+    the nine taps collapse (rows, cols) to matmul rows — Mosaic compiles
+    the strided-slice reshape fine (it is the HBM DMA it rejects)."""
+    tco = out_ref.shape[-1]
+    acc = jnp.zeros((th * w_dim, tco), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            xs = xt[dy : dy + th, dx : dx + w_dim, :].reshape(th * w_dim, tci)
-            ws = w_ref[dy, dx, :, :]
-            partial += jax.lax.dot_general(
-                xs, ws, (((1,), (0,)), ((), ())),
+            xs = x_ref[dy : dy + th, dx : dx + w_dim, :].reshape(th * w_dim, cin)
+            acc += jax.lax.dot_general(
+                xs, w_ref[dy, dx], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    acc[:] += partial.reshape(th, w_dim, tco)
-
-    @pl.when(k == n_ci - 1)
-    def _():
-        out_ref[0] = (acc[:] + b_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
+    acc += b_ref[0].astype(jnp.float32)
+    out_ref[:] = acc.reshape(th, w_dim, tco).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=())
 def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
     """x [B,H,W,Cin] -> [B,H,W,Cout]; w [3,3,Cin,Cout] HWIO; stride 1, pad 1."""
     b, h, w_dim, cin = x.shape
     cout = w.shape[-1]
-    th, tco, tci = _pick_tiles(h, w_dim, cin, cout)
-    # pad: +1 halo each side spatially; round Cin/H up to tile multiples
-    cin_p = -(-cin // tci) * tci
-    h_p = -(-h // th) * th
-    xp = jnp.pad(
-        x, ((0, 0), (1, 1 + (h_p - h)), (1, 1), (0, cin_p - cin))
-    )
-    wp = jnp.pad(w, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
-    n_ci = cin_p // tci
+    tco = _pick_tco(cin, cout)
+    th = _pick_th(h, w_dim, cin, tco)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
-    grid = (b, h_p // th, cout // tco if cout % tco == 0 else -(-cout // tco), n_ci)
-    cout_p = grid[2] * tco
-    if cout_p != cout:
-        wp = jnp.pad(wp, ((0, 0), (0, 0), (0, 0), (0, cout_p - cout)))
-        bias_p = jnp.pad(bias, (0, cout_p - cout))[None]
-    else:
-        bias_p = bias[None]
-
-    kern = functools.partial(
-        _conv_kernel, th=th, w_dim=w_dim, tci=tci, n_ci=n_ci
-    )
+    E = pallas_core.Element
+    kern = functools.partial(_conv_kernel, th=th, w_dim=w_dim, cin=cin)
+    # grid: h fastest so the (j)-indexed weight block stays resident across
+    # a full column sweep; x windows re-stream once per Cout tile.
     out = pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(b, cout // tco, h // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x: manual DMA
             pl.BlockSpec(
-                (3, 3, tci, tco), lambda b, i, j, k: (0, 0, k, j),
+                (None, E(th + 2), E(w_dim + 2), E(cin)),
+                lambda nb, j, i: (nb, i * th, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 3, cin, tco), lambda nb, j, i: (0, 0, 0, j),
                 memory_space=pltpu.VMEM,
             ),
             # bias as a 2-D block — Mosaic rejects 1-D VMEM operands
-            pl.BlockSpec((1, tco), lambda b, i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tco), lambda nb, j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, w_dim, tco), lambda b, i, j, k: (b, i, 0, j),
+            (None, th, w_dim, tco), lambda nb, j, i: (nb, i, 0, j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h_p, w_dim, cout_p), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2, w_dim + 2, tci), x.dtype),
-            pltpu.VMEM((th, w_dim, tco), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, h, w_dim, cout), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h_p * w_dim * 9 * cin_p * cout_p,
-            bytes_accessed=b * h_p * w_dim * (cin_p + cout_p) * 2,
+            flops=2 * b * h * w_dim * 9 * cin * cout,
+            bytes_accessed=b * h * w_dim * (cin * (cout // tco) + cout) * 2
+            + 9 * cin * cout * 2 * b,
             transcendentals=0,
         ),
-    )(xp, wp, bias_p)
-    return out[:, :h, :, :cout]
+    )(xp, w, bias[None])
+    return out
 
 
 @jax.custom_vjp
@@ -204,11 +163,15 @@ conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
 
 
 def conv3x3_available(x_shape, kernel_shape, stride: int, padding) -> bool:
-    """Gate: kernel handles 3x3, stride 1, symmetric pad 1, W mult of 8."""
+    """Gate: 3x3 stride-1 symmetric-pad-1 NHWC shapes this kernel handles
+    AND wins on (W >= 32 — smaller feature maps are XLA's to keep)."""
     kh, kw = kernel_shape[0], kernel_shape[1]
     if (kh, kw) != (3, 3) or stride != 1:
         return False
     if padding is not None and padding != ((1, 1), (1, 1)):
         return False
-    h, w = x_shape[1], x_shape[2]
-    return w % 8 == 0 and h >= 8 and np.prod(x_shape) > 0
+    h, w, cin = x_shape[1], x_shape[2], x_shape[3]
+    cout = kernel_shape[3]
+    if _pick_tco(cin, cout) is None:
+        return False
+    return w >= 32 and h % 8 == 0 and np.prod(x_shape) > 0

@@ -15,8 +15,24 @@ Conventions (deliberately different from the torch reference â€” see SURVEY.md Â
 from __future__ import annotations
 
 import math
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _use_pallas_conv(x_shape, kernel_shape, stride, padding) -> bool:
+    """Route eligible 3x3 convs through the Pallas direct kernel.
+
+    CGD_TPU_PALLAS_CONV=1 enables it for every shape the kernel supports
+    (kernels/conv_pallas.py); unset/0 keeps XLA's conv. Off by default until
+    the A/B table in PERF.md shows a win at the UNet's hot shapes.
+    """
+    if os.environ.get("CGD_TPU_PALLAS_CONV") != "1":
+        return False
+    from cgd_tpu.kernels.conv_pallas import conv3x3_available
+
+    return conv3x3_available(x_shape, kernel_shape, stride, padding)
 
 
 def silu(x: jnp.ndarray) -> jnp.ndarray:
@@ -69,6 +85,10 @@ def conv2d(params, x: jnp.ndarray, stride: int = 1, padding=None) -> jnp.ndarray
     if padding is None:
         kh, kw = kernel.shape[0], kernel.shape[1]
         padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    if _use_pallas_conv(x.shape, kernel.shape, stride, padding):
+        from cgd_tpu.kernels.conv_pallas import conv3x3
+
+        return conv3x3(x, kernel, params["bias"].astype(x.dtype))
     out = jax.lax.conv_general_dilated(
         x,
         kernel,
