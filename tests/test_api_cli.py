@@ -16,6 +16,7 @@ def tiny_env(monkeypatch, tmp_path):
 
 
 class TestAPI:
+    @pytest.mark.slow
     def test_generator_contract(self, tmp_path):
         from cgd_tpu.api import clip_guided_diffusion
 
@@ -58,6 +59,7 @@ class TestAPI:
         with pytest.raises(RuntimeError, match="must not sum to 0"):
             next(gen)
 
+    @pytest.mark.slow
     def test_init_image_and_skip(self, tmp_path):
         from PIL import Image
 
@@ -84,6 +86,7 @@ class TestAPI:
         # so only step 0 is saved with save_frequency=100
         assert len(results) == 1
 
+    @pytest.mark.slow
     def test_init_image_and_skip_no_parity_saves_final(self, tmp_path):
         from PIL import Image
 
@@ -107,6 +110,7 @@ class TestAPI:
         results = list(gen)
         assert len(results) == 2  # step 0 + final step 4 (the fix)
 
+    @pytest.mark.slow
     def test_init_image_with_offsets(self, tmp_path):
         """Reference latent bug (cgd/cgd.py:118 vs :252): square init resize
         + offset sample shape. strict_parity raises a clear error; the
@@ -134,6 +138,7 @@ class TestAPI:
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_full_flag_surface_smoke(self, tmp_path):
         from cgd_tpu.cli import main
 
@@ -149,6 +154,7 @@ class TestCLI:
             pngs += [f for f in files if f.endswith(".png")]
         assert sorted(pngs) == ["0000.png", "0005.png", "0009.png"]
 
+    @pytest.mark.slow
     def test_reduce_clip_flag(self, tmp_path):
         from cgd_tpu.cli import main
 
@@ -165,6 +171,7 @@ class TestCLI:
         # skip>0, so only step 0 is saved at save_frequency=100.
         assert sorted(pngs) == ["0000.png"]
 
+    @pytest.mark.slow
     def test_reduce_clip_no_parity_saves_final(self, tmp_path):
         from cgd_tpu.cli import main
 
@@ -203,6 +210,7 @@ class TestCLI:
 
 
 class TestImagePrompts:
+    @pytest.mark.slow
     def test_image_prompt_e2e(self, tmp_path):
         import numpy as np
         from PIL import Image
@@ -261,6 +269,7 @@ class TestImagePrompts:
 
 
 class TestLossObservability:
+    @pytest.mark.slow
     def test_segment_boundary_loss_sink(self, tmp_path, monkeypatch, capsys):
         """--log-losses on callback-less backends (axon) pulls loss scalars
         as scan outputs at segment boundaries instead of disabling."""

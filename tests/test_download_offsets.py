@@ -41,6 +41,7 @@ class TestDownloader:
 
 
 class TestNonSquare:
+    @pytest.mark.slow
     def test_width_offset_e2e(self, tmp_path, monkeypatch):
         """BASELINE config 5: non-square via width_offset (multiples of the
         UNet's total downsample factor; reference cgd/cgd.py:252,342-343)."""
@@ -65,6 +66,7 @@ class TestNonSquare:
         img = Image.open(results[-1][1])
         assert img.size == (96, 64)  # (W+offset, H)
 
+    @pytest.mark.slow
     def test_negative_offset(self, tmp_path, monkeypatch):
         """Negative offsets are documented (less memory, faster): README:141."""
         from PIL import Image

@@ -9,7 +9,11 @@ import pytest
 from tests.golden_utils import BUILDERS, GOLDEN_DIR
 
 
-@pytest.mark.parametrize("name", sorted(BUILDERS))
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n == "guided_e2e" else n
+     for n in sorted(BUILDERS)],
+)
 def test_golden(name):
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
     if not os.path.exists(path):

@@ -132,6 +132,7 @@ def _torch_guided_step(use_ddim, tunet, tvit, d, x0, noise, target, weights, coo
 
 
 @pytest.mark.parametrize("use_ddim", [False, True])
+@pytest.mark.slow
 def test_guided_step_matches_torch(use_ddim):
     (ucfg, tunet, ccfg, tvit, unet_params, clip_params, d, x0, noise,
      target, weights, coords) = _setup()

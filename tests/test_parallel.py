@@ -57,11 +57,13 @@ class TestMesh:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow
     def test_dryrun_multichip_8(self):
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
 
+    @pytest.mark.slow
     def test_entry_is_jittable_tiny(self):
         # entry() uses the real 256px headline architecture — too slow to
         # *execute* on CPU CI, but it must at least abstractly trace
@@ -96,11 +98,13 @@ class TestGraftEntry:
         out = jax.jit(sharded)(params, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    @pytest.mark.slow
     def test_dryrun_multichip_4(self):
         import __graft_entry__ as g
 
         g.dryrun_multichip(4)
 
+    @pytest.mark.slow
     def test_dryrun_multichip_2(self):
         import __graft_entry__ as g
 

@@ -6,6 +6,7 @@ cgd/cgd.py:157-175)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cgd_tpu.diffusion import make_diffusion
 from cgd_tpu.diffusion.sampler import (
@@ -99,6 +100,7 @@ class TestSampleLoop:
             assert x0.shape == (1, 16, 16, 3)
             assert bool(jnp.isfinite(x0).all())
 
+    @pytest.mark.slow
     def test_guided_p_sample_with_class_randomization(self):
         model_fn = tiny_model(num_classes=10)
         d = make_diffusion(steps=1000, timestep_respacing="20")

@@ -28,6 +28,7 @@ class TestServe:
             body = json.loads(r.read())
         assert body["status"] == "ok" and body["devices"] >= 1
 
+    @pytest.mark.slow
     def test_generate_png(self, server):
         req = urllib.request.Request(
             f"{server}/generate",

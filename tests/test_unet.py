@@ -128,6 +128,7 @@ class TestForward:
         out = apply_unet(params, cfg, x, jnp.array([5.0]))
         assert out.shape == (1, 32, 48, 6)
 
+    @pytest.mark.slow
     def test_all_checkpoint_variants_tiny(self):
         """Walk all 6 reference flag sets, shrunk to 32px/16ch, and check the
         full encoder/decoder plan executes (updown resblocks, attention
@@ -181,6 +182,7 @@ class TestForward:
 
 
 class TestFlagMergeOrder:
+    @pytest.mark.slow
     def test_noise_schedule_override_footgun(self):
         """Reference §3.4: user noise_schedule overrides the checkpoint's —
         the CLI 'linear' default silently overrides 64px's cosine."""
