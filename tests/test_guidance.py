@@ -175,3 +175,55 @@ class TestPrompts:
     def test_split(self):
         assert split_prompts("a|b:0.5|c") == ["a", "b:0.5", "c"]
         assert split_prompts("") == []
+
+
+class TestMultiPromptMultiBatch:
+    """The reference's dists broadcasting silently breaks for batch_size > 1
+    with #prompts != batch_size (SURVEY §3.1 shape-fragility note,
+    cgd/cgd.py:196-199). The rebuild computes [cutn, B, P] distances and
+    reduces explicitly, so P=3 prompts x B=2 batch must just work."""
+
+    def test_loss_and_grad_shapes(self):
+        from cgd_tpu.diffusion import make_diffusion
+        from cgd_tpu.diffusion.gaussian import PMeanVariance
+        from cgd_tpu.diffusion.sampler import StepMeta
+        from cgd_tpu.guidance.pipeline import GuidanceSettings, make_guidance_builder
+        from cgd_tpu.models.clip import init_clip
+        from cgd_tpu.models.clip.configs import CLIPConfig, TextConfig, VisionViTConfig
+
+        cfg = CLIPConfig(
+            name="t",
+            embed_dim=32,
+            vision=VisionViTConfig(input_resolution=32, patch_size=8, width=32, layers=1, heads=2),
+            text=TextConfig(context_length=16, vocab_size=64, width=32, heads=2, layers=1),
+        )
+        clip_params = init_clip(jax.random.PRNGKey(0), cfg)
+        d = make_diffusion(100, "linear", "10")
+
+        P, B = 3, 2
+        rs = np.random.RandomState(1)
+        targets = rs.randn(P, cfg.embed_dim).astype(np.float32)
+        weights = np.asarray([0.7, 0.2, 0.1], np.float32)
+        builder = make_guidance_builder(
+            cfg, targets, weights, d,
+            GuidanceSettings(clip_compute_dtype="float32"),
+        )
+        fns = builder(StepMeta(t=5, guided=True, cutn=4))
+
+        x = jnp.asarray(rs.randn(B, 48, 48, 3).astype(np.float32))
+        px = jnp.tanh(x)
+        out = PMeanVariance(px, jnp.ones_like(x), jnp.zeros_like(x), px, x - px)
+
+        def scalar_loss(x):
+            loss, _log = fns.loss_fn(
+                {"clip": clip_params}, jax.random.PRNGKey(2), x, out, jnp.int32(5)
+            )
+            return loss
+
+        loss, grad = jax.value_and_grad(scalar_loss)(x)
+        assert np.isfinite(float(loss))
+        assert grad.shape == x.shape
+        assert np.isfinite(np.asarray(grad)).all()
+        # every batch entry receives gradient (no silent broadcast collapse)
+        gnorm = np.asarray(jnp.sqrt((grad.astype(jnp.float32) ** 2).sum(axis=(1, 2, 3))))
+        assert (gnorm > 0).all()
