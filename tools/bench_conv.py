@@ -1,5 +1,8 @@
 """A/B the Pallas direct conv vs XLA at the UNet's hot shapes (real TPU)."""
-import sys, time
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import jax, jax.numpy as jnp, numpy as np
 
 def log(*a): print(*a, file=sys.stderr, flush=True)

@@ -7,6 +7,7 @@ One-off: needs the reference tree; the test suite only reads the npz.
 
 import importlib.util
 import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import types
 
 import numpy as np

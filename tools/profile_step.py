@@ -12,6 +12,7 @@ import argparse
 import glob
 import json
 import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import time
 
 import jax

@@ -24,6 +24,7 @@ import json
 import os
 import subprocess
 import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import time
 from pathlib import Path
 

@@ -6,6 +6,7 @@ backend), min of 3. Baselines r1: fwd 40 ms, fwd+bwd 71 ms, step ~74 ms.
 """
 
 import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import time
 
 import jax
