@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--cutn", type=int, default=16)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--clip", default="ViT-B/32")
+    ap.add_argument("--fast", action="store_true",
+                    help="fast_guidance mode (detached pred_xstart; NOT reference semantics)")
     args = ap.parse_args()
 
     from cgd_tpu.utils.compile_cache import enable_compile_cache
@@ -69,7 +71,7 @@ def main():
     params = {"unet": unet_params, "clip": clip_params}
     step = make_guided_step(
         diffusion, model_fn, builder(StepMeta(t=0, guided=True, cutn=args.cutn)),
-        SamplerConfig(use_ddim=use_ddim, randomize_class=True),
+        SamplerConfig(use_ddim=use_ddim, randomize_class=True, fast_guidance=args.fast),
     )
 
     import numpy as np

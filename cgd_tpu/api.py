@@ -176,6 +176,10 @@ def clip_guided_diffusion(
     # condition (cgd/cgd.py:268 never fires when skip>0), image-prompt
     # channel-L2 normalize (clip_util.py:100), init_image square resize
     # (cgd/cgd.py:118 — incompatible with offsets). False applies the fixes.
+    fast_guidance: bool = False,  # NOT reference semantics: guide on a
+    # detached denoised prediction (classic pre-fork CLIP guidance) — skips
+    # the UNet backward, ~45% faster guided steps; re-validate quality with
+    # real weights (see SamplerConfig.fast_guidance).
 ) -> Iterator[Tuple[int, str]]:
     from cgd_tpu.utils.compile_cache import enable_compile_cache
 
@@ -398,6 +402,7 @@ def clip_guided_diffusion(
         use_ddim=timestep_respacing.startswith("ddim"),
         randomize_class=(randomize_class and class_cond),
         num_classes=1000,
+        fast_guidance=fast_guidance,
     )
     y_init = jnp.zeros((batch_size,), jnp.int32) if class_cond else None
     shape = (batch_size, image_size + height_offset, image_size + width_offset, 3)

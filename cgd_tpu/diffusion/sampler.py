@@ -114,6 +114,14 @@ class SamplerConfig:
     clip_denoised: bool = False
     randomize_class: bool = False
     num_classes: int = 1000
+    # NOT reference semantics: detach the p_mean_variance output inside the
+    # guidance loss, so the gradient flows through the cutouts/CLIP path only
+    # and XLA dead-code-eliminates the UNet backward (~45% of the guided-step
+    # cost at 256px). This is the classic pre-fork CLIP-guidance formulation
+    # (cond_fn sees a detached ``out``) vs the fork's cond_fn_with_grad
+    # (/root/reference/cgd/cgd.py:260 + p_sample_with_grad). Opt-in;
+    # quality should be re-validated with real weights before production use.
+    fast_guidance: bool = False
 
 
 def make_guided_step(
@@ -155,7 +163,8 @@ def make_guided_step(
 
             def loss_and_out(x_):
                 out = forward(x_)
-                res = guidance.loss_fn(params, r_guide, x_, out, ref_t)
+                out_g = jax.tree.map(jax.lax.stop_gradient, out) if cfg.fast_guidance else out
+                res = guidance.loss_fn(params, r_guide, x_, out_g, ref_t)
                 loss, llog = res if isinstance(res, tuple) else (res, {})
                 return loss, (out, llog)
 

@@ -24,11 +24,16 @@ import jax.numpy as jnp
 def _use_pallas_conv(x_shape, kernel_shape, stride, padding) -> bool:
     """Route eligible 3x3 convs through the Pallas direct kernel.
 
-    CGD_TPU_PALLAS_CONV=1 enables it for every shape the kernel supports
-    (kernels/conv_pallas.py); unset/0 keeps XLA's conv. Off by default until
-    the A/B table in PERF.md shows a win at the UNet's hot shapes.
+    Default ON for accelerator backends — measured e2e win at the 256px
+    ddim250 headline: 13.95 -> 12.91 s/image (PERF.md round-2 A/B).
+    CGD_TPU_PALLAS_CONV=0 forces XLA's conv; =1 forces the kernel even on
+    CPU (interpret-mode tests). On a CPU default backend the kernel cannot
+    compile, so the XLA path is kept automatically (tests, dryrun_multichip).
     """
-    if os.environ.get("CGD_TPU_PALLAS_CONV") != "1":
+    flag = os.environ.get("CGD_TPU_PALLAS_CONV")
+    if flag == "0":
+        return False
+    if flag != "1" and jax.default_backend() == "cpu":
         return False
     from cgd_tpu.kernels.conv_pallas import conv3x3_available
 

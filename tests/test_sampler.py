@@ -13,6 +13,7 @@ from cgd_tpu.diffusion.sampler import (
     GuidanceFns,
     SamplerConfig,
     build_step_plan,
+    make_guided_step,
     sample_loop,
 )
 from cgd_tpu.models.unet import UNetConfig, apply_unet, init_unet
@@ -163,3 +164,42 @@ class TestSampleLoop:
         r1 = list(sample_loop(d, model_fn, lambda m: None, {}, (1, 16, 16, 3), jax.random.PRNGKey(7), cfg, save_frequency=100))
         r2 = list(sample_loop(d, model_fn, lambda m: None, {}, (1, 16, 16, 3), jax.random.PRNGKey(7), cfg, save_frequency=100))
         np.testing.assert_allclose(np.asarray(r1[-1][1]), np.asarray(r2[-1][1]))
+
+
+class TestFastGuidance:
+    """fast_guidance=True detaches the p_mean_variance output inside the
+    guidance loss (classic pre-fork CLIP guidance; NOT the reference's
+    cond_fn_with_grad). The model backward must contribute nothing: a loss
+    built ONLY from out.pred_xstart yields zero gradient, while the x-path
+    still guides."""
+
+    def _step(self, loss_fn, fast):
+        model_fn = tiny_model()
+        d = make_diffusion(steps=1000, timestep_respacing="10")
+        cfg = SamplerConfig(use_ddim=True, fast_guidance=fast)
+        grads_seen = {}
+
+        def grad_transform(g):
+            grads_seen["g"] = g
+            return g
+
+        step = make_guided_step(d, model_fn, GuidanceFns(loss_fn, grad_transform), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+        x1, px, _ = step({}, x, jnp.int32(5), jnp.int32(5), None, jax.random.PRNGKey(1))
+        return np.asarray(grads_seen["g"]), np.asarray(x1)
+
+    def test_model_path_gradient_is_cut(self):
+        loss = lambda p, rng, x, out, ref_t: jnp.sum(out.pred_xstart**2)
+        g_fast, _ = self._step(loss, fast=True)
+        g_full, _ = self._step(loss, fast=False)
+        assert np.abs(g_fast).max() == 0.0  # detached: no gradient at all
+        assert np.abs(g_full).max() > 0.0   # parity mode backprops the UNet
+
+    def test_x_path_still_guides(self):
+        # blend-style loss: fac*pred_xstart + (1-fac)*x — x-path survives
+        loss = lambda p, rng, x, out, ref_t: jnp.sum(
+            (0.5 * out.pred_xstart + 0.5 * x) ** 2
+        )
+        g_fast, x1 = self._step(loss, fast=True)
+        assert np.abs(g_fast).max() > 0.0
+        assert np.isfinite(x1).all()
