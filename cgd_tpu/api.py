@@ -18,6 +18,7 @@ is jitted JAX (segmented lax.scan over the respaced schedule; UNet + cutouts
 from __future__ import annotations
 
 import functools
+import os
 
 from pathlib import Path
 from typing import Iterator, List, Optional, Tuple
@@ -346,6 +347,11 @@ def clip_guided_diffusion(
 
         unet_params = shard_params_replicated(unet_params, mesh)
         clip_params = shard_params_replicated(clip_params, mesh)
+        # The Pallas direct conv has no SPMD partitioning rules — under the
+        # mesh's spatial/batch sharding it cannot be partitioned by pjit.
+        # Keep XLA convs for sharded runs unless the user explicitly forces.
+        if os.environ.get("CGD_TPU_PALLAS_CONV") != "1":
+            os.environ["CGD_TPU_PALLAS_CONV"] = "0"
 
     use_init_loss = init_tensor is not None and init_scale != 0
 
