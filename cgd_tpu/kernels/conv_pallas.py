@@ -84,10 +84,26 @@ def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, th, w_dim, cin):
 
 
 def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
-    """x [B,H,W,Cin] -> [B,H,W,Cout]; w [3,3,Cin,Cout] HWIO; stride 1, pad 1."""
+    """x [B,H,W,Cin] -> [B,H,W,Cout]; w [3,3,Cin,Cout] HWIO; stride 1, pad 1.
+
+    Skinny channel counts (the UNet's RGB-in / eps+sigma-out convs, where
+    XLA picks pathological T(2,128) layouts — ~1.9 ms/step profiled) are
+    zero-padded to a lane tile; the padded MXU work is still ~2x faster
+    than XLA's layout shuffling at those shapes.
+    """
     b, h, w_dim, cin = x.shape
     cout = w.shape[-1]
-    tco = _pick_tco(cin, cout)
+    cin_pad = (-cin) % 128 if cin % 64 else 0
+    cout_pad = (-cout) % 128 if cout % 64 else 0
+    if cin_pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad), (0, 0)))
+        cin += cin_pad
+    if cout_pad:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_pad)))
+        bias = jnp.pad(bias, (0, cout_pad))
+    cout_p = cout + cout_pad
+    tco = _pick_tco(cin, cout_p)
     th = _pick_th(h, w_dim, cin, tco)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
@@ -97,7 +113,7 @@ def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray) -> jnp.nd
     # a full column sweep; x windows re-stream once per Cout tile.
     out = pl.pallas_call(
         kern,
-        grid=(b, cout // tco, h // th),
+        grid=(b, cout_p // tco, h // th),
         in_specs=[
             pl.BlockSpec(
                 (None, E(th + 2), E(w_dim + 2), E(cin)),
@@ -115,18 +131,18 @@ def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray) -> jnp.nd
             (None, th, w_dim, tco), lambda nb, j, i: (nb, i, 0, j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w_dim, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, w_dim, cout_p), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * w_dim * 9 * cin * cout,
-            bytes_accessed=b * h * w_dim * (cin * (cout // tco) + cout) * 2
-            + 9 * cin * cout * 2 * b,
+            flops=2 * b * h * w_dim * 9 * cin * cout_p,
+            bytes_accessed=b * h * w_dim * (cin * (cout_p // tco) + cout_p) * 2
+            + 9 * cin * cout_p * 2 * b,
             transcendentals=0,
         ),
     )(xp, w, bias[None])
-    return out
+    return out[..., :cout] if cout_pad else out
 
 
 @jax.custom_vjp
@@ -172,6 +188,9 @@ def conv3x3_available(x_shape, kernel_shape, stride: int, padding) -> bool:
         return False
     h, w, cin = x_shape[1], x_shape[2], x_shape[3]
     cout = kernel_shape[3]
-    if _pick_tco(cin, cout) is None:
+    # skinny channels are zero-padded to a lane tile inside the kernel
+    cin_p = cin + ((-cin) % 128 if cin % 64 else 0)
+    cout_p = cout + ((-cout) % 128 if cout % 64 else 0)
+    if _pick_tco(cin_p, cout_p) is None:
         return False
     return w >= 32 and h % 8 == 0 and np.prod(x_shape) > 0

@@ -87,9 +87,16 @@ def conv2d(params, x: jnp.ndarray, stride: int = 1, padding=None) -> jnp.ndarray
     the torch alignment.
     """
     kernel = params["kernel"].astype(x.dtype)
+    kh, kw = kernel.shape[0], kernel.shape[1]
     if padding is None:
-        kh, kw = kernel.shape[0], kernel.shape[1]
         padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    if (kh, kw) == (1, 1) and stride == 1 and padding == ((0, 0), (0, 0)):
+        # 1x1 convs as plain matmuls: XLA's convolution path picks
+        # space-to-batch T(2,128) layouts for these and runs them ~4x
+        # slower than the equivalent dot (profiled on v5e — PERF.md r2;
+        # the ADM skip-projection convs alone cost ~5 ms/step as convs).
+        out = jnp.einsum("bhwc,cd->bhwd", x, kernel[0, 0])
+        return out + params["bias"].astype(out.dtype)
     if _use_pallas_conv(x.shape, kernel.shape, stride, padding):
         from cgd_tpu.kernels.conv_pallas import conv3x3
 

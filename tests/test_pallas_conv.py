@@ -33,6 +33,8 @@ SHAPES = [
     (2, 16, 64, 256, 256),   # batch > 1, non-square
     (1, 8, 32, 384, 768),    # full-cout tile (768 = no 128-multiple divisor fit)
     (1, 16, 32, 512, 256),   # cin > cout (decoder skip-concat shape class)
+    (1, 16, 32, 3, 128),     # RGB input conv (cin zero-padded in-kernel)
+    (1, 16, 32, 128, 6),     # eps+sigma output conv (cout padded + sliced)
 ]
 
 
@@ -85,6 +87,9 @@ class TestConv3x3Pallas:
     def test_availability_gate(self):
         ok = ((1, 1), (1, 1))
         assert conv3x3_available((1, 64, 64, 256), (3, 3, 256, 256), 1, ok)
+        # skinny channels route too (zero-padded to a lane tile inside)
+        assert conv3x3_available((1, 64, 64, 3), (3, 3, 3, 256), 1, ok)
+        assert conv3x3_available((1, 64, 64, 256), (3, 3, 256, 6), 1, ok)
         assert not conv3x3_available((1, 64, 64, 256), (3, 3, 256, 256), 2, ok)  # stride
         assert not conv3x3_available((1, 64, 64, 256), (1, 1, 256, 256), 1, ok)  # 1x1
         assert not conv3x3_available((1, 64, 16, 256), (3, 3, 256, 256), 1, ok)  # W<32
