@@ -37,15 +37,24 @@ from jax.experimental.pallas import tpu as pltpu
 _W_BYTES_BUDGET = 4 * 1024 * 1024  # per-block weight bytes (double-buffered)
 
 
-def _pick_tco(cin: int, cout: int) -> int | None:
-    """Largest legal Cout tile: divides cout, is a multiple of 128 (Mosaic
-    last-dim block rule) or the full cout, and keeps the [3,3,Cin,TCO]
-    weight block under the VMEM budget."""
-    cands = [c for c in (512, 384, 256, 128) if c % 128 == 0]
-    for c in [cout] + cands:
-        if c <= cout and cout % c == 0 and (c % 128 == 0 or c == cout):
-            if 9 * cin * c * 2 <= _W_BYTES_BUDGET:
-                return c
+def _pick_tco(cin: int, cout: int):
+    """Cout tile + the (possibly padded) Cout it tiles.
+
+    Prefers a tile that divides cout exactly (a multiple of 128 per Mosaic's
+    last-dim block rule, or the full cout); otherwise pads cout up to a
+    multiple of the largest budget-fitting 128-tile (e.g. the 64px model's
+    576-channel convs -> tiled as 5x128 over 640, sliced after). Returns
+    None only when even a 128 tile's [3,3,Cin,128] weight block exceeds the
+    VMEM budget."""
+    def fits(c):
+        return 9 * cin * c * 2 <= _W_BYTES_BUDGET
+
+    for c in [cout] + [512, 384, 256, 128]:
+        if 0 < c <= cout and cout % c == 0 and (c % 128 == 0 or c == cout) and fits(c):
+            return c, cout
+    for c in (512, 384, 256, 128):
+        if fits(c):
+            return c, -(-cout // c) * c
     return None
 
 
@@ -99,11 +108,10 @@ def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray) -> jnp.nd
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
         w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad), (0, 0)))
         cin += cin_pad
-    if cout_pad:
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_pad)))
-        bias = jnp.pad(bias, (0, cout_pad))
-    cout_p = cout + cout_pad
-    tco = _pick_tco(cin, cout_p)
+    tco, cout_p = _pick_tco(cin, cout + cout_pad)
+    if cout_p != cout:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_p - cout)))
+        bias = jnp.pad(bias, (0, cout_p - cout))
     th = _pick_th(h, w_dim, cin, tco)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
@@ -142,7 +150,7 @@ def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray) -> jnp.nd
             transcendentals=0,
         ),
     )(xp, w, bias[None])
-    return out[..., :cout] if cout_pad else out
+    return out[..., :cout] if cout_p != cout else out
 
 
 @jax.custom_vjp
@@ -191,6 +199,8 @@ def conv3x3_available(x_shape, kernel_shape, stride: int, padding) -> bool:
     # skinny channels are zero-padded to a lane tile inside the kernel
     cin_p = cin + ((-cin) % 128 if cin % 64 else 0)
     cout_p = cout + ((-cout) % 128 if cout % 64 else 0)
-    if _pick_tco(cin_p, cout_p) is None:
+    # the custom-vjp input gradient runs the kernel with (cout, cin)
+    # transposed weights — both orientations must tile within budget
+    if _pick_tco(cin_p, cout_p) is None or _pick_tco(cout_p, cin_p) is None:
         return False
     return w >= 32 and h % 8 == 0 and np.prod(x_shape) > 0

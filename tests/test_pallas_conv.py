@@ -35,6 +35,7 @@ SHAPES = [
     (1, 16, 32, 512, 256),   # cin > cout (decoder skip-concat shape class)
     (1, 16, 32, 3, 128),     # RGB input conv (cin zero-padded in-kernel)
     (1, 16, 32, 128, 6),     # eps+sigma output conv (cout padded + sliced)
+    (1, 16, 32, 768, 576),   # 64px-model shape: no exact tile, cout padded to 768
 ]
 
 
