@@ -347,11 +347,17 @@ def clip_guided_diffusion(
 
         unet_params = shard_params_replicated(unet_params, mesh)
         clip_params = shard_params_replicated(clip_params, mesh)
-        # The Pallas direct conv has no SPMD partitioning rules — under the
-        # mesh's spatial/batch sharding it cannot be partitioned by pjit.
-        # Keep XLA convs for sharded runs unless the user explicitly forces.
-        if os.environ.get("CGD_TPU_PALLAS_CONV") != "1":
+        # Mesh-sharded runs use the custom_partitioning-wrapped Pallas convs
+        # (kernels/conv_spmd.py: batch partitioning + ppermute halo exchange
+        # for the height-split UNet). Exception: the axon remote-compile
+        # backend cannot resolve client-side partition callbacks — keep XLA
+        # convs there unless the user explicitly forces.
+        if os.environ.get("CGD_TPU_PALLAS_CONV") != "1" and any(
+            "axon" in d.client.platform_version for d in mesh.devices.flat
+        ):
             os.environ["CGD_TPU_PALLAS_CONV"] = "0"
+        else:
+            os.environ.setdefault("CGD_TPU_PALLAS_CONV_SPMD", "1")
 
     use_init_loss = init_tensor is not None and init_scale != 0
 

@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax._src.pallas import core as pallas_core
 from jax.experimental.pallas import tpu as pltpu
 
 _W_BYTES_BUDGET = 4 * 1024 * 1024  # per-block weight bytes (double-buffered)
@@ -60,40 +59,99 @@ def _pick_tco(cin: int, cout: int):
 
 def _pick_th(h: int, w: int, cin: int, tco: int) -> int:
     """Row-window height: big enough that the [TH*W, Cin] matmul fills the
-    MXU, small enough that x window + f32 acc fit VMEM comfortably."""
+    MXU, small enough that the x block stream (double-buffered) + the
+    in-kernel halo'd copy (th+2, W+2, cin) + f32 acc fit VMEM comfortably."""
     th = 8
     while th < h and th * w < 2048:
         nth = th * 2
         if h % nth != 0:
             break
-        use = 2 * (nth + 2) * (w + 2) * cin * 2 + nth * w * tco * 6
+        use = 3 * (nth + 2) * (w + 2) * cin * 2 + nth * w * tco * 6
         if use > 8 * 1024 * 1024:
             break
         th = nth
     return th
 
 
-def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, th, w_dim, cin):
+def _conv_kernel(*refs, th, w_dim, cin, nblk, prologue, has_skip, explicit_halo=False):
     """One program: rows [i*TH, i*TH+TH) of one batch, one Cout tile.
 
-    x_ref is the (TH+2, W+2, Cin) halo window of the host-padded input;
-    the nine taps collapse (rows, cols) to matmul rows — Mosaic compiles
-    the strided-slice reshape fine (it is the HBM DMA it rejects)."""
+    The halo is assembled IN KERNEL (no host jnp.pad — that cost ~2 ms/step
+    of pure HBM traffic at the 256px operating point): x_ref is the
+    unpadded TH-row block, top_ref/bot_ref are the single neighbor rows
+    (index maps clamped at the image edges; the clamped duplicates are
+    zeroed here, which is exactly conv pad=1 semantics). The W halo is two
+    zero columns concatenated in VMEM — Mosaic handles the unaligned
+    sublane concat the same way it handles the dx-shifted slices below.
+    The nine taps collapse (rows, cols) to matmul rows.
+
+    ``prologue``: fuse the ResBlock's GroupNorm-apply + SiLU into the
+    window load — act = silu(x*A + B) with per-(batch,channel) f32 A/B
+    (GN stats/params and the emb scale-shift folded outside; halo rows
+    are zeroed AFTER activation, which is the conv-pad-of-the-activation
+    semantics the unfused path has). Saves one full HBM write+read of the
+    activation tensor per conv.
+    ``has_skip``: fuse a residual add into the output write (epilogue).
+    ``explicit_halo``: SPMD spatial sharding — two extra [1, W, Cin] operands
+    carry the neighbor shard's boundary rows (POST-activation; zero-filled by
+    ppermute at the true image edges), used instead of the zeroed clamp rows
+    at this shard's first/last row block.
+    """
+    if prologue:
+        x_ref, top_ref, bot_ref, a_ref, b2_ref, w_ref, b_ref = refs[:7]
+        rest = refs[7:]
+    else:
+        x_ref, top_ref, bot_ref, w_ref, b_ref = refs[:5]
+        rest = refs[5:]
+    nrest = int(has_skip) + 2 * int(explicit_halo) + 1
+    assert len(rest) == nrest, (len(rest), nrest)
+    s_ref = rest[0] if has_skip else None
+    etop_ref = rest[-3] if explicit_halo else None
+    ebot_ref = rest[-2] if explicit_halo else None
+    out_ref = rest[-1]
+
+    i = pl.program_id(2)
+    dt = x_ref.dtype
+
+    def act(v):
+        if not prologue:
+            return v
+        pre = v.astype(jnp.float32) * a_ref[:] + b2_ref[:]
+        return (pre * jax.nn.sigmoid(pre)).astype(dt)
+
+    if explicit_halo:
+        top = jnp.where(i == 0, etop_ref[:], act(top_ref[:]))
+        bot = jnp.where(i == nblk - 1, ebot_ref[:], act(bot_ref[:]))
+    else:
+        top = act(top_ref[:]) * jnp.where(i == 0, 0, 1).astype(dt)
+        bot = act(bot_ref[:]) * jnp.where(i == nblk - 1, 0, 1).astype(dt)
+    xw = jnp.concatenate([top, act(x_ref[:]), bot], axis=0)  # (th+2, W, cin)
+    zcol = jnp.zeros((th + 2, 1, cin), dt)
+    xw = jnp.concatenate([zcol, xw, zcol], axis=1)  # (th+2, W+2, cin)
+
     tco = out_ref.shape[-1]
     acc = jnp.zeros((th * w_dim, tco), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            xs = x_ref[dy : dy + th, dx : dx + w_dim, :].reshape(th * w_dim, cin)
+            xs = xw[dy : dy + th, dx : dx + w_dim, :].reshape(th * w_dim, cin)
             acc += jax.lax.dot_general(
                 xs, w_ref[dy, dx], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
     acc += b_ref[0].astype(jnp.float32)
+    if has_skip:
+        acc += s_ref[:].reshape(th * w_dim, tco).astype(jnp.float32)
     out_ref[:] = acc.reshape(th, w_dim, tco).astype(out_ref.dtype)
 
 
-def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+def _conv3x3_pallas(x, w, bias, A=None, B=None, skip=None, etop=None, ebot=None):
     """x [B,H,W,Cin] -> [B,H,W,Cout]; w [3,3,Cin,Cout] HWIO; stride 1, pad 1.
+
+    Optional fusions: ``A``/``B`` [Bb,Cin] f32 prologue vectors
+    (act = silu(x*A+B) before the conv taps), ``skip`` [B,H,W,Cout]
+    residual added into the output write. ``etop``/``ebot`` [B,1,W,Cin]:
+    explicit (post-activation) boundary rows for SPMD spatial sharding —
+    used instead of the implicit zero pad at this shard's H edges.
 
     Skinny channel counts (the UNet's RGB-in / eps+sigma-out convs, where
     XLA picks pathological T(2,128) layouts — ~1.9 ms/step profiled) are
@@ -102,39 +160,92 @@ def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray) -> jnp.nd
     """
     b, h, w_dim, cin = x.shape
     cout = w.shape[-1]
+    prologue = A is not None
+    explicit_halo = etop is not None
     cin_pad = (-cin) % 128 if cin % 64 else 0
     cout_pad = (-cout) % 128 if cout % 64 else 0
     if cin_pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
         w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad), (0, 0)))
+        if prologue:
+            A = jnp.pad(A, ((0, 0), (0, cin_pad)))
+            B = jnp.pad(B, ((0, 0), (0, cin_pad)))
+        if explicit_halo:
+            etop = jnp.pad(etop, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
+            ebot = jnp.pad(ebot, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
         cin += cin_pad
     tco, cout_p = _pick_tco(cin, cout + cout_pad)
     if cout_p != cout:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_p - cout)))
         bias = jnp.pad(bias, (0, cout_p - cout))
+        if skip is not None:
+            skip = jnp.pad(skip, ((0, 0), (0, 0), (0, 0), (0, cout_p - cout)))
     th = _pick_th(h, w_dim, cin, tco)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    nblk = h // th
 
-    E = pallas_core.Element
-    kern = functools.partial(_conv_kernel, th=th, w_dim=w_dim, cin=cin)
+    kern = functools.partial(
+        _conv_kernel, th=th, w_dim=w_dim, cin=cin, nblk=nblk,
+        prologue=prologue, has_skip=skip is not None,
+        explicit_halo=explicit_halo,
+    )
     # grid: h fastest so the (j)-indexed weight block stays resident across
-    # a full column sweep; x windows re-stream once per Cout tile.
+    # a full column sweep; x windows re-stream once per Cout tile. x rides
+    # in three specs: the TH-row main block plus the two single-row halos
+    # (their index maps clamp at the edges; the kernel zeroes the clamped
+    # duplicates — that IS the pad-1 boundary).
+    in_specs = [
+        pl.BlockSpec(
+            (None, th, w_dim, cin), lambda nb, j, i: (nb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (None, 1, w_dim, cin),
+            lambda nb, j, i: (nb, jnp.maximum(i * th - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (None, 1, w_dim, cin),
+            lambda nb, j, i: (nb, jnp.minimum(i * th + th, th * nblk - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [x, x, x]
+    if prologue:
+        vec = pl.BlockSpec(
+            (None, 1, 1, cin), lambda nb, j, i: (nb, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs += [vec, vec]
+        operands += [A[:, None, None, :], B[:, None, None, :]]
+    in_specs += [
+        pl.BlockSpec(
+            (3, 3, cin, tco), lambda nb, j, i: (0, 0, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        # bias as a 2-D block — Mosaic rejects 1-D VMEM operands
+        pl.BlockSpec((1, tco), lambda nb, j, i: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands += [w, bias[None]]
+    if skip is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (None, th, w_dim, tco), lambda nb, j, i: (nb, i, 0, j),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(skip)
+    if explicit_halo:
+        row = pl.BlockSpec(
+            (None, 1, w_dim, cin), lambda nb, j, i: (nb, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs += [row, row]
+        operands += [etop.astype(x.dtype), ebot.astype(x.dtype)]
+
     out = pl.pallas_call(
         kern,
-        grid=(b, cout_p // tco, h // th),
-        in_specs=[
-            pl.BlockSpec(
-                (None, E(th + 2), E(w_dim + 2), E(cin)),
-                lambda nb, j, i: (nb, i * th, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (3, 3, cin, tco), lambda nb, j, i: (0, 0, 0, j),
-                memory_space=pltpu.VMEM,
-            ),
-            # bias as a 2-D block — Mosaic rejects 1-D VMEM operands
-            pl.BlockSpec((1, tco), lambda nb, j, i: (0, j), memory_space=pltpu.VMEM),
-        ],
+        grid=(b, cout_p // tco, nblk),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (None, th, w_dim, tco), lambda nb, j, i: (nb, i, 0, j),
             memory_space=pltpu.VMEM,
@@ -147,9 +258,9 @@ def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray) -> jnp.nd
             flops=2 * b * h * w_dim * 9 * cin * cout_p,
             bytes_accessed=b * h * w_dim * (cin * (cout_p // tco) + cout_p) * 2
             + 9 * cin * cout_p * 2 * b,
-            transcendentals=0,
+            transcendentals=b * h * w_dim * cin if prologue else 0,
         ),
-    )(xp, w, bias[None])
+    )(*operands)
     return out[..., :cout] if cout_p != cout else out
 
 
@@ -184,6 +295,77 @@ def _conv3x3_bwd(res, g):
 
 
 conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+
+
+def _silu_chain(x, A, B):
+    """pre, sigmoid(pre), act for the prologue act = silu(x*A + B). f32."""
+    pre = x.astype(jnp.float32) * A[:, None, None, :] + B[:, None, None, :]
+    sig = jax.nn.sigmoid(pre)
+    return pre, sig, pre * sig
+
+
+def _fused_bwd_common(x, A, B, w, g, conv_fn=None):
+    """Shared cotangents for the prologue-fused conv.
+
+    dx rides the plain Pallas transpose conv (``conv_fn`` overrides it — the
+    SPMD wrapper passes its partitioned variant); the silu'/affine chain and
+    the dA/dB reductions are left to XLA (they fuse into ~one elementwise
+    pass over da and x). dA/dB matter for correctness: A/B carry the
+    GroupNorm statistics, so d(loss)/d(image) flows through them outside the
+    kernel."""
+    conv_fn = conv_fn or _conv3x3_pallas
+    wt = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+    da = conv_fn(g, wt.astype(w.dtype), jnp.zeros((w.shape[2],), w.dtype))
+    pre, sig, act = _silu_chain(x, A, B)
+    dpre = da.astype(jnp.float32) * (sig * (1.0 + pre * (1.0 - sig)))
+    dx = (dpre * A[:, None, None, :]).astype(x.dtype)
+    dA = jnp.sum(dpre * x.astype(jnp.float32), axis=(1, 2))
+    dB = jnp.sum(dpre, axis=(1, 2))
+    # dw/db: exact, via XLA on the recomputed activation — dead-code-
+    # eliminated in the sampling path (guidance differentiates wrt the image)
+    _, w_vjp = jax.vjp(lambda w_: _xla_conv(act.astype(x.dtype), w_), w)
+    (dw,) = w_vjp(g.astype(x.dtype))
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(g.dtype)
+    return dx, dA, dB, dw, db
+
+
+@jax.custom_vjp
+def conv3x3_gn_silu(x, A, B, w, bias):
+    """conv3x3(silu(x*A + B)) + bias — the ResBlock GroupNorm-apply/SiLU
+    prologue fused into the conv window load (one less full HBM write+read
+    of the activation per conv). A/B: [batch, Cin] f32 fold of the GN
+    stats/params (and emb scale-shift)."""
+    return _conv3x3_pallas(x, w, bias, A=A, B=B)
+
+
+def _gn_silu_fwd(x, A, B, w, bias):
+    return _conv3x3_pallas(x, w, bias, A=A, B=B), (x, A, B, w)
+
+
+def _gn_silu_bwd(res, g):
+    return _fused_bwd_common(*res, g)
+
+
+conv3x3_gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
+
+
+@jax.custom_vjp
+def conv3x3_gn_silu_add(x, A, B, w, bias, skip):
+    """conv3x3(silu(x*A + B)) + bias + skip — prologue fusion plus the
+    ResBlock residual add fused into the output write (epilogue)."""
+    return _conv3x3_pallas(x, w, bias, A=A, B=B, skip=skip)
+
+
+def _gn_silu_add_fwd(x, A, B, w, bias, skip):
+    return _conv3x3_pallas(x, w, bias, A=A, B=B, skip=skip), (x, A, B, w)
+
+
+def _gn_silu_add_bwd(res, g):
+    dx, dA, dB, dw, db = _fused_bwd_common(*res, g)
+    return dx, dA, dB, dw, db, g
+
+
+conv3x3_gn_silu_add.defvjp(_gn_silu_add_fwd, _gn_silu_add_bwd)
 
 
 def conv3x3_available(x_shape, kernel_shape, stride: int, padding) -> bool:

@@ -215,29 +215,39 @@ def init_unet(key, cfg: UNetConfig):
 # ---------------------------------------------------------------------------
 
 def _apply_res(p, cfg: UNetConfig, x, emb, mode: str, rng=None):
-    h = cnn.silu(cnn.group_norm(p["in_norm"], x))
-    if mode == "up":
-        h = cnn.upsample_nearest_2x(h)
-        x = cnn.upsample_nearest_2x(x)
-    elif mode == "down":
-        h = cnn.avg_pool_2x(h)
-        x = cnn.avg_pool_2x(x)
-    h = cnn.conv2d(p["in_conv"], h)
+    dropout = cfg.dropout > 0.0 and rng is not None
+    if mode == "":
+        # GN+SiLU fused into the conv's Pallas window load when eligible
+        h = cnn.fused_gn_silu_conv(p["in_norm"], p["in_conv"], x)
+    else:
+        h = cnn.silu(cnn.group_norm(p["in_norm"], x))
+        if mode == "up":
+            h = cnn.upsample_nearest_2x(h)
+            x = cnn.upsample_nearest_2x(x)
+        elif mode == "down":
+            h = cnn.avg_pool_2x(h)
+            x = cnn.avg_pool_2x(x)
+        h = cnn.conv2d(p["in_conv"], h)
 
     emb_out = cnn.dense(p["emb"], cnn.silu(emb))[:, None, None, :]
+    skip = cnn.conv2d(p["skip"], x) if "skip" in p else x
     if cfg.use_scale_shift_norm:
         scale, shift = jnp.split(emb_out, 2, axis=-1)
+        if not dropout:
+            return cnn.fused_gn_silu_conv(
+                p["out_norm"], p["out_conv"], h, scale_shift=(scale, shift), skip=skip
+            )
         h = cnn.group_norm(p["out_norm"], h) * (1.0 + scale) + shift
         h = cnn.silu(h)
     else:
         h = h + emb_out
+        if not dropout:
+            return cnn.fused_gn_silu_conv(p["out_norm"], p["out_conv"], h, skip=skip)
         h = cnn.silu(cnn.group_norm(p["out_norm"], h))
-    if cfg.dropout > 0.0 and rng is not None:
-        keep = 1.0 - cfg.dropout
-        mask = jax.random.bernoulli(rng, keep, h.shape)
-        h = jnp.where(mask, h / keep, 0.0).astype(h.dtype)
+    keep = 1.0 - cfg.dropout
+    mask = jax.random.bernoulli(rng, keep, h.shape)
+    h = jnp.where(mask, h / keep, 0.0).astype(h.dtype)
     h = cnn.conv2d(p["out_conv"], h)
-    skip = cnn.conv2d(p["skip"], x) if "skip" in p else x
     return skip + h
 
 
@@ -306,6 +316,5 @@ def apply_unet(
         for p, spec in zip(blk_params, blk_plan_):
             h = _apply_layer(p, cfg, spec, h, emb, nxt_rng())
 
-    h = cnn.silu(cnn.group_norm(params["out_norm"], h))
-    h = cnn.conv2d(params["out_conv"], h)
+    h = cnn.fused_gn_silu_conv(params["out_norm"], params["out_conv"], h)
     return h.astype(jnp.float32)

@@ -16,28 +16,41 @@ from __future__ import annotations
 
 import math
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 
-def _use_pallas_conv(x_shape, kernel_shape, stride, padding) -> bool:
-    """Route eligible 3x3 convs through the Pallas direct kernel.
+def _pallas_conv_mode(x_shape, kernel_shape, stride, padding) -> str:
+    """'' (XLA), 'plain', or 'spmd' for an eligible 3x3 conv.
 
-    Default ON for accelerator backends — measured e2e win at the 256px
-    ddim250 headline: 13.95 -> 12.91 s/image (PERF.md round-2 A/B).
+    Default ON ('plain') for accelerator backends — measured e2e win at the
+    256px ddim250 headline: 13.95 -> 12.91 s/image (PERF.md round-2 A/B).
     CGD_TPU_PALLAS_CONV=0 forces XLA's conv; =1 forces the kernel even on
     CPU (interpret-mode tests). On a CPU default backend the kernel cannot
     compile, so the XLA path is kept automatically (tests, dryrun_multichip).
+
+    CGD_TPU_PALLAS_CONV_SPMD=1 selects the custom_partitioning-wrapped
+    variants (kernels/conv_spmd.py) so mesh-sharded runs keep the Pallas
+    convs — set by api.py when a mesh is in play; the partition callbacks
+    live in the client process, which the axon remote-compile path cannot
+    call back into, hence not the single-chip default.
     """
     flag = os.environ.get("CGD_TPU_PALLAS_CONV")
     if flag == "0":
-        return False
+        return ""
     if flag != "1" and jax.default_backend() == "cpu":
-        return False
+        return ""
     from cgd_tpu.kernels.conv_pallas import conv3x3_available
 
-    return conv3x3_available(x_shape, kernel_shape, stride, padding)
+    if not conv3x3_available(x_shape, kernel_shape, stride, padding):
+        return ""
+    return "spmd" if os.environ.get("CGD_TPU_PALLAS_CONV_SPMD") == "1" else "plain"
+
+
+def _use_pallas_conv(x_shape, kernel_shape, stride, padding) -> bool:
+    return bool(_pallas_conv_mode(x_shape, kernel_shape, stride, padding))
 
 
 def silu(x: jnp.ndarray) -> jnp.ndarray:
@@ -97,8 +110,12 @@ def conv2d(params, x: jnp.ndarray, stride: int = 1, padding=None) -> jnp.ndarray
         # the ADM skip-projection convs alone cost ~5 ms/step as convs).
         out = jnp.einsum("bhwc,cd->bhwd", x, kernel[0, 0])
         return out + params["bias"].astype(out.dtype)
-    if _use_pallas_conv(x.shape, kernel.shape, stride, padding):
-        from cgd_tpu.kernels.conv_pallas import conv3x3
+    mode = _pallas_conv_mode(x.shape, kernel.shape, stride, padding)
+    if mode:
+        if mode == "spmd":
+            from cgd_tpu.kernels.conv_spmd import conv3x3
+        else:
+            from cgd_tpu.kernels.conv_pallas import conv3x3
 
         return conv3x3(x, kernel, params["bias"].astype(x.dtype))
     out = jax.lax.conv_general_dilated(
@@ -120,6 +137,31 @@ def dense(params, x: jnp.ndarray) -> jnp.ndarray:
     return out + params["bias"].astype(out.dtype)
 
 
+def _gn_groups(c: int, num_groups: int) -> int:
+    # Real ADM channel counts are all multiples of 32; shrink groups only for
+    # tiny test configs.
+    while c % num_groups:
+        num_groups //= 2
+    return num_groups
+
+
+def _gn_stats(x: jnp.ndarray, num_groups: int, eps: float):
+    """Per-(batch, group) mean and rsqrt(var+eps), f32, one fused pass over
+    the (bf16) input — E[x^2]-E[x]^2, never materializing a f32 copy."""
+    c = x.shape[-1]
+    shape = x.shape[:-1] + (num_groups, c // num_groups)
+    g = x.reshape(shape)
+    reduce_axes = tuple(range(1, g.ndim - 2)) + (g.ndim - 1,)
+    mean = jnp.mean(g, axis=reduce_axes, keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(
+        jnp.square(g.astype(jnp.float32)), axis=reduce_axes, keepdims=True,
+        dtype=jnp.float32,
+    )
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    return mean, inv
+
+
 def group_norm(params, x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
     """GroupNorm over channels-last input.
 
@@ -135,26 +177,73 @@ def group_norm(params, x: jnp.ndarray, num_groups: int = 32, eps: float = 1e-5) 
     """
     orig_dtype = x.dtype
     c = x.shape[-1]
-    # Real ADM channel counts are all multiples of 32; shrink groups only for
-    # tiny test configs.
-    while c % num_groups:
-        num_groups //= 2
-    shape = x.shape[:-1] + (num_groups, c // num_groups)
-    g = x.reshape(shape)
-    reduce_axes = tuple(range(1, g.ndim - 2)) + (g.ndim - 1,)
-    # one fused pass over bf16 data, f32 accumulation, two tiny outputs
-    mean = jnp.mean(g, axis=reduce_axes, keepdims=True, dtype=jnp.float32)
-    mean_sq = jnp.mean(
-        jnp.square(g.astype(jnp.float32)), axis=reduce_axes, keepdims=True,
-        dtype=jnp.float32,
-    )
-    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-    inv = jax.lax.rsqrt(var + eps)
+    num_groups = _gn_groups(c, num_groups)
+    mean, inv = _gn_stats(x, num_groups, eps)
+    g = x.reshape(x.shape[:-1] + (num_groups, c // num_groups))
     # second pass: bf16 in -> f32 elementwise (fused, never stored) -> bf16 out
     g = (g.astype(jnp.float32) - mean) * inv
     out = g.reshape(x.shape)
     out = out * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
     return out.astype(orig_dtype)
+
+
+def fused_gn_silu_conv(
+    norm_params,
+    conv_params,
+    x: jnp.ndarray,
+    scale_shift=None,
+    skip: Optional[jnp.ndarray] = None,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """GroupNorm -> [emb scale-shift] -> SiLU -> conv3x3 [+ residual], with
+    the whole elementwise chain fused into the Pallas conv's window load.
+
+    The GN apply + scale-shift collapse into per-(batch, channel) f32
+    vectors A/B (act = silu(x*A + B)); only the tiny stats reduction stays
+    outside the kernel. Saves one full HBM write+read of the activation
+    tensor per conv vs the unfused chain (and the residual add's read+write
+    when ``skip`` is given). Reference chain: ext guided_diffusion unet.py
+    ResBlock (GroupNorm32 -> SiLU -> conv, use_scale_shift_norm variant).
+
+    Falls back to the exact unfused ops when the Pallas conv is unavailable
+    (CPU backends, mesh-sharded runs, ineligible shapes).
+    """
+    kernel = conv_params["kernel"]
+    mode = _pallas_conv_mode(x.shape, kernel.shape, 1, ((1, 1), (1, 1)))
+    if not mode:
+        h = group_norm(norm_params, x, num_groups, eps)
+        if scale_shift is not None:
+            h = h * (1.0 + scale_shift[0]) + scale_shift[1]
+        h = silu(h)
+        out = conv2d(conv_params, h)
+        return out + skip if skip is not None else out
+
+    if mode == "spmd":
+        from cgd_tpu.kernels.conv_spmd import conv3x3_gn_silu, conv3x3_gn_silu_add
+    else:
+        from cgd_tpu.kernels.conv_pallas import conv3x3_gn_silu, conv3x3_gn_silu_add
+
+    b, c = x.shape[0], x.shape[-1]
+    groups = _gn_groups(c, num_groups)
+    mean, inv = _gn_stats(x, groups, eps)  # [B,1,1,G,1] f32
+    rep = c // groups
+    meanc = jnp.repeat(mean.reshape(b, groups), rep, axis=-1)  # [B,C]
+    invc = jnp.repeat(inv.reshape(b, groups), rep, axis=-1)
+    gamma = norm_params["scale"].astype(jnp.float32)[None]  # [1,C]
+    beta = norm_params["bias"].astype(jnp.float32)[None]
+    A = invc * gamma
+    B = beta - meanc * A
+    if scale_shift is not None:
+        s = scale_shift[0].reshape(b, c).astype(jnp.float32)
+        t = scale_shift[1].reshape(b, c).astype(jnp.float32)
+        A = A * (1.0 + s)
+        B = B * (1.0 + s) + t
+    wk = kernel.astype(x.dtype)
+    bias = conv_params["bias"].astype(x.dtype)
+    if skip is not None:
+        return conv3x3_gn_silu_add(x, A, B, wk, bias, skip.astype(x.dtype))
+    return conv3x3_gn_silu(x, A, B, wk, bias)
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:

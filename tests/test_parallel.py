@@ -56,6 +56,114 @@ class TestMesh:
         assert x.sharding.shard_shape(x.shape)[0] == 2
 
 
+class TestConvSpmd:
+    """custom_partitioning rules for the Pallas conv (kernels/conv_spmd.py).
+
+    On the CPU mesh the partition body lowers the exact XLA fallback, so
+    these pin the *partitioning* contract — halo exchange, shardings,
+    gradients; the Mosaic kernel's explicit-halo path is pinned
+    single-device in test_pallas_conv.py::test_explicit_halo_rows."""
+
+    @pytest.fixture(scope="class")
+    def ops(self, mesh8):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rs = np.random.RandomState(0)
+        b, h, w_dim, ci, co = 2, 64, 32, 128, 128
+        return dict(
+            x=jnp.asarray(rs.randn(b, h, w_dim, ci).astype(np.float32)),
+            w=jnp.asarray((0.05 * rs.randn(3, 3, ci, co)).astype(np.float32)),
+            bias=jnp.asarray(rs.randn(co).astype(np.float32)),
+            A=jnp.asarray((1.0 + 0.1 * rs.randn(b, ci)).astype(np.float32)),
+            B=jnp.asarray((0.1 * rs.randn(b, ci)).astype(np.float32)),
+            skip=jnp.asarray(rs.randn(b, h, w_dim, co).astype(np.float32)),
+            NS=NamedSharding, P=P,
+        )
+
+    @pytest.mark.parametrize(
+        "spec_dims",
+        [("data", None), ("data", "cut"), (None, "cut")],
+        ids=["batch", "batch+height", "height"],
+    )
+    def test_sharded_matches_reference(self, mesh8, ops, spec_dims):
+        from cgd_tpu.kernels import conv_spmd
+
+        NS, P = ops["NS"], ops["P"]
+        spec = P(spec_dims[0], spec_dims[1], None, None)
+        x, w, bias = ops["x"], ops["w"], ops["bias"]
+        A, B, skip = ops["A"], ops["B"], ops["skip"]
+
+        act = jax.nn.silu(x * A[:, None, None, :] + B[:, None, None, :])
+        ref_gn = jax.lax.conv_general_dilated(
+            act, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+
+        xs = jax.device_put(x, NS(mesh8, spec))
+        ss = jax.device_put(skip, NS(mesh8, spec))
+        out = jax.jit(conv_spmd.conv3x3_gn_silu_add)(xs, A, B, w, bias, ss)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_gn + skip), atol=1e-5, rtol=1e-5
+        )
+        # output keeps the input's (batch, height) sharding
+        got = tuple(out.sharding.spec) + (None,) * 2
+        assert got[:2] == tuple(spec_dims)
+
+    def test_height_sharded_gradient(self, mesh8, ops):
+        from cgd_tpu.kernels import conv_spmd
+
+        NS, P = ops["NS"], ops["P"]
+        x, w, bias, A, B = ops["x"], ops["w"], ops["bias"], ops["A"], ops["B"]
+
+        def loss(x):
+            return jnp.sum(jnp.sin(conv_spmd.conv3x3_gn_silu(x, A, B, w, bias)))
+
+        def loss_ref(x):
+            a = jax.nn.silu(x * A[:, None, None, :] + B[:, None, None, :])
+            o = jax.lax.conv_general_dilated(
+                a, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias
+            return jnp.sum(jnp.sin(o))
+
+        xs = jax.device_put(x, NS(mesh8, P("data", "cut", None, None)))
+        g = jax.jit(jax.grad(loss))(xs)
+        g_ref = jax.grad(loss_ref)(ops["x"])
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5, rtol=1e-4)
+
+    def test_unet_spatial_sharded_with_spmd_convs(self, mesh8, monkeypatch):
+        """Height-sharded UNet with the SPMD conv routing on == replicated
+        XLA forward (the api.py mesh path sets these env vars)."""
+        from cgd_tpu.models.unet import UNetConfig, apply_unet, init_unet
+        from cgd_tpu.parallel.mesh import spatial_sharding
+
+        cfg = UNetConfig(
+            image_size=32, model_channels=64, num_res_blocks=1,
+            attention_ds=(4,), channel_mult=(1, 2), num_head_channels=16,
+        )
+        params = init_unet(jax.random.PRNGKey(0), cfg)
+        leaves, treedef = jax.tree.flatten(params)
+        rs = np.random.RandomState(7)
+        params = jax.tree.unflatten(
+            treedef,
+            [l + jnp.asarray(0.05 * rs.randn(*l.shape).astype(np.float32)) for l in leaves],
+        )
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        t = jnp.array([3.0, 9.0])
+
+        ref = jax.jit(lambda p, x: apply_unet(p, cfg, x, t))(params, x)
+
+        monkeypatch.setenv("CGD_TPU_PALLAS_CONV", "1")
+        monkeypatch.setenv("CGD_TPU_PALLAS_CONV_SPMD", "1")
+
+        def sharded(p, x):
+            x = jax.lax.with_sharding_constraint(x, spatial_sharding(mesh8))
+            return apply_unet(p, cfg, x, t)
+
+        out = jax.jit(sharded)(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 class TestGraftEntry:
     @pytest.mark.slow
     def test_dryrun_multichip_8(self):

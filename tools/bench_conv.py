@@ -34,6 +34,10 @@ def main():
         (1, 64, 64, 512, 512),
         (1, 32, 32, 1536, 512),
         (1, 64, 64, 1024, 512),
+        (1, 16, 16, 1024, 1024),
+        (1, 16, 16, 2048, 1024),
+        (1, 8, 8, 1024, 1024),
+        (1, 16, 16, 1024, 512),
     ]
     rs = np.random.RandomState(0)
     for (b, h, w, ci, co) in shapes:
