@@ -370,7 +370,9 @@ conv3x3_gn_silu_add.defvjp(_gn_silu_add_fwd, _gn_silu_add_bwd)
 
 def conv3x3_available(x_shape, kernel_shape, stride: int, padding) -> bool:
     """Gate: 3x3 stride-1 symmetric-pad-1 NHWC shapes this kernel handles
-    AND wins on (W >= 32 — smaller feature maps are XLA's to keep)."""
+    AND wins on. W >= 8 since round 2c: the r2c profile showed the 16^2/8^2
+    bottleneck-level convs XLA kept were ~5.5 ms/step of T(2,128)-layout
+    fusions at ~30% MXU efficiency; routing them here won e2e (PERF.md)."""
     kh, kw = kernel_shape[0], kernel_shape[1]
     if (kh, kw) != (3, 3) or stride != 1:
         return False
@@ -385,4 +387,4 @@ def conv3x3_available(x_shape, kernel_shape, stride: int, padding) -> bool:
     # transposed weights — both orientations must tile within budget
     if _pick_tco(cin_p, cout_p) is None or _pick_tco(cout_p, cin_p) is None:
         return False
-    return w >= 32 and h % 8 == 0 and np.prod(x_shape) > 0
+    return w >= 8 and h % 8 == 0 and np.prod(x_shape) > 0
