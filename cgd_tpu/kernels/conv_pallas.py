@@ -73,6 +73,37 @@ def _pick_th(h: int, w: int, cin: int, tco: int) -> int:
     return th
 
 
+def _dx_vmem_estimate(th, w, cin, tco) -> int:
+    """Scoped-VMEM estimate for _conv_dx_kernel: streamed blocks (double-
+    buffered) + the in-kernel f32 temporaries. Mosaic keeps ~3 of the f32
+    epilogue temps (acc/xs/pre/sig/dpre) live at once — calibrated against
+    the measured 17.2 MB OOM at (th=8, w=256, cin=256, tco=512)."""
+    stack = (th + 2) * (w + 2) * cin * 2 + 3 * th * w * tco * 4 + th * w * tco * 2
+    pipe = 2 * (th * w * cin * 2 + 2 * w * cin * 2 + 9 * cin * tco * 2
+                + 2 * th * w * tco * 2)
+    return stack + pipe
+
+
+def _pick_dx_tiles(h, w, cin, cout):
+    """(tco, cout_p) for the fused-backward kernel. Starts from _pick_tco's
+    choice, then shrinks the Cout tile until the whole program — including
+    the five f32 temporaries the epilogue keeps live — fits the 16 MB
+    scoped-VMEM limit (measured OOM at 17.2 MB with tco=512 at 256^2x256,
+    axon remote compile 2026-08-17). Returns (None, None) if nothing fits."""
+    picked = _pick_tco(cin, cout)
+    if picked is None:
+        return None, None
+    tco, cout_p = picked
+    candidates = [tco] + [c for c in (512, 384, 256, 128) if c < tco]
+    for c in candidates:
+        if cout_p % c or (c % 128 and c != cout_p):
+            continue
+        th = _pick_th(h, w, cin, c)
+        if _dx_vmem_estimate(th, w, cin, c) <= 12 * 1024 * 1024:
+            return c, cout_p
+    return None, None
+
+
 def _conv_kernel(*refs, th, w_dim, cin, nblk, prologue, has_skip, explicit_halo=False):
     """One program: rows [i*TH, i*TH+TH) of one batch, one Cout tile.
 
@@ -174,7 +205,30 @@ def _conv3x3_pallas(x, w, bias, A=None, B=None, skip=None, etop=None, ebot=None)
             etop = jnp.pad(etop, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
             ebot = jnp.pad(ebot, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
         cin += cin_pad
-    tco, cout_p = _pick_tco(cin, cout + cout_pad)
+    picked = _pick_tco(cin, cout + cout_pad)
+    if picked is None:
+        # Cin too fat for a [3,3,Cin,128] weight block in the VMEM budget
+        # (the decoder-bottleneck ci-2048 convs): split the reduction in
+        # half and chain the partial sum through the skip epilogue — same
+        # MXU work, one tiny [B,H,W,Cout] intermediate.
+        c1 = (cin // 2 + 127) // 128 * 128 if cin % 128 == 0 else cin // 2
+        first = _conv3x3_pallas(
+            x[..., :c1], w[:, :, :c1], jnp.zeros_like(bias),
+            A=None if A is None else A[:, :c1],
+            B=None if B is None else B[:, :c1],
+            skip=skip,
+            etop=None if etop is None else etop[..., :c1],
+            ebot=None if ebot is None else ebot[..., :c1],
+        )
+        return _conv3x3_pallas(
+            x[..., c1:], w[:, :, c1:], bias,
+            A=None if A is None else A[:, c1:],
+            B=None if B is None else B[:, c1:],
+            skip=first.astype(x.dtype),
+            etop=None if etop is None else etop[..., c1:],
+            ebot=None if ebot is None else ebot[..., c1:],
+        )
+    tco, cout_p = picked
     if cout_p != cout:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_p - cout)))
         bias = jnp.pad(bias, (0, cout_p - cout))
@@ -297,6 +351,151 @@ def _conv3x3_bwd(res, g):
 conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
 
 
+def _conv_dx_kernel(g_ref, top_ref, bot_ref, w_ref, x_ref, a_ref, b2_ref,
+                    dx_ref, ab_ref, *, th, w_dim, cin, nblk):
+    """Fused backward for the prologue conv: one program computes the
+    transpose-conv accumulator for its output block, then applies the
+    silu'/affine chain IN REGISTER — dx = (acc * silu'(pre)) * A with
+    pre = x*A + B recomputed from the streamed x block — and reduces the
+    per-block dA/dB partial sums. Replaces the da write+read plus a full
+    elementwise fusion pass per ResBlock conv in the guidance gradient."""
+    i = pl.program_id(2)
+    dt = g_ref.dtype
+    top = top_ref[:] * jnp.where(i == 0, 0, 1).astype(dt)
+    bot = bot_ref[:] * jnp.where(i == nblk - 1, 0, 1).astype(dt)
+    gw = jnp.concatenate([top, g_ref[:], bot], axis=0)
+    zcol = jnp.zeros((th + 2, 1, cin), dt)
+    gw = jnp.concatenate([zcol, gw, zcol], axis=1)
+
+    tco = dx_ref.shape[-1]
+    acc = jnp.zeros((th * w_dim, tco), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            gs = gw[dy : dy + th, dx : dx + w_dim, :].reshape(th * w_dim, cin)
+            acc += jax.lax.dot_general(
+                gs, w_ref[dy, dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    xs = x_ref[:].reshape(th * w_dim, tco).astype(jnp.float32)
+    a = a_ref[0]  # (1, tco) row vector, broadcasts over the rows axis
+    b2 = b2_ref[0]
+    pre = xs * a + b2
+    sig = jax.nn.sigmoid(pre)
+    dpre = acc * (sig * (1.0 + pre * (1.0 - sig)))
+    dx_ref[:] = (dpre * a).reshape(th, w_dim, tco).astype(dx_ref.dtype)
+    # per-block dA/dB partial sums; rows 0/1 of an 8-sublane tile (Mosaic
+    # needs the last-two block dims divisible by (8, 128))
+    da_row = jnp.sum(dpre * xs, axis=0, keepdims=True)
+    db_row = jnp.sum(dpre, axis=0, keepdims=True)
+    ab_ref[:] = jnp.concatenate(
+        [da_row, db_row, jnp.zeros((6, tco), jnp.float32)], axis=0
+    )[None]
+
+
+def _conv3x3_dx_pallas(g, wt, x, A, B):
+    """(dx, dA, dB) of the prologue-fused conv in one kernel pass.
+
+    g [B,H,W,Co] cotangent, wt [3,3,Co,Ci] flipped/transposed weights,
+    x [B,H,W,Ci] the pre-activation input, A/B [B,Ci] prologue vectors."""
+    b, h, w_dim, cin = g.shape
+    cout = wt.shape[-1]
+    cin_pad = (-cin) % 128 if cin % 64 else 0
+    cout_pad = (-cout) % 128 if cout % 64 else 0
+    if cin_pad:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
+        wt = jnp.pad(wt, ((0, 0), (0, 0), (0, cin_pad), (0, 0)))
+        cin += cin_pad
+    tco, cout_p = _pick_dx_tiles(h, w_dim, cin, cout + cout_pad)
+    if tco is None:
+        raise ValueError("dx kernel tiles do not fit VMEM; gate should have caught this")
+    if cout_p != cout:
+        wt = jnp.pad(wt, ((0, 0), (0, 0), (0, 0), (0, cout_p - cout)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cout_p - cout)))
+        A = jnp.pad(A, ((0, 0), (0, cout_p - cout)))
+        B = jnp.pad(B, ((0, 0), (0, cout_p - cout)))
+    th = _pick_th(h, w_dim, cin, tco)
+    nblk = h // th
+
+    kern = functools.partial(_conv_dx_kernel, th=th, w_dim=w_dim, cin=cin, nblk=nblk)
+    vec = pl.BlockSpec(
+        (None, 1, 1, tco), lambda nb, j, i: (nb, 0, 0, j), memory_space=pltpu.VMEM
+    )
+    dx, ab_p = pl.pallas_call(
+        kern,
+        grid=(b, cout_p // tco, nblk),
+        in_specs=[
+            pl.BlockSpec(
+                (None, th, w_dim, cin), lambda nb, j, i: (nb, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 1, w_dim, cin),
+                lambda nb, j, i: (nb, jnp.maximum(i * th - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 1, w_dim, cin),
+                lambda nb, j, i: (nb, jnp.minimum(i * th + th, th * nblk - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 3, cin, tco), lambda nb, j, i: (0, 0, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, th, w_dim, tco), lambda nb, j, i: (nb, i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            vec,
+            vec,
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (None, th, w_dim, tco), lambda nb, j, i: (nb, i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 1, 8, tco), lambda nb, j, i: (nb, i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w_dim, cout_p), g.dtype),
+            jax.ShapeDtypeStruct((b, nblk, 8, cout_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w_dim * 9 * cin * cout_p,
+            bytes_accessed=b * h * w_dim * (cin * (cout_p // tco) + 2 * cout_p) * 2
+            + 9 * cin * cout_p * 2 * b,
+            transcendentals=b * h * w_dim * cout_p,
+        ),
+    )(
+        g, g, g, wt,
+        x.astype(g.dtype),
+        A.astype(jnp.float32)[:, None, None, :],
+        B.astype(jnp.float32)[:, None, None, :],
+    )
+    dA = jnp.sum(ab_p[:, :, 0], axis=1)
+    dB = jnp.sum(ab_p[:, :, 1], axis=1)
+    if cout_p != cout:
+        return dx[..., :cout], dA[:, :cout], dB[:, :cout]
+    return dx, dA, dB
+
+
+def _dx_kernel_available(g_shape, wt_shape) -> bool:
+    b, h, w, cin = g_shape
+    cout = wt_shape[-1]
+    cin_p = cin + ((-cin) % 128 if cin % 64 else 0)
+    cout_p = cout + ((-cout) % 128 if cout % 64 else 0)
+    return (
+        w >= 8 and h % 8 == 0 and np.prod(g_shape) > 0
+        and _pick_dx_tiles(h, w, cin_p, cout_p)[0] is not None
+    )
+
+
 def _silu_chain(x, A, B):
     """pre, sigmoid(pre), act for the prologue act = silu(x*A + B). f32."""
     pre = x.astype(jnp.float32) * A[:, None, None, :] + B[:, None, None, :]
@@ -313,14 +512,21 @@ def _fused_bwd_common(x, A, B, w, g, conv_fn=None):
     pass over da and x). dA/dB matter for correctness: A/B carry the
     GroupNorm statistics, so d(loss)/d(image) flows through them outside the
     kernel."""
-    conv_fn = conv_fn or _conv3x3_pallas
     wt = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
-    da = conv_fn(g, wt.astype(w.dtype), jnp.zeros((w.shape[2],), w.dtype))
-    pre, sig, act = _silu_chain(x, A, B)
-    dpre = da.astype(jnp.float32) * (sig * (1.0 + pre * (1.0 - sig)))
-    dx = (dpre * A[:, None, None, :]).astype(x.dtype)
-    dA = jnp.sum(dpre * x.astype(jnp.float32), axis=(1, 2))
-    dB = jnp.sum(dpre, axis=(1, 2))
+    if conv_fn is None and _dx_kernel_available(g.shape, wt.shape):
+        # single-kernel backward: transpose conv + silu'/affine chain +
+        # dA/dB partial reductions in one pass (no da round trip)
+        dx, dA, dB = _conv3x3_dx_pallas(g, wt.astype(w.dtype), x, A, B)
+        dx = dx.astype(x.dtype)
+        _, _, act = _silu_chain(x, A, B)
+    else:
+        conv_fn = conv_fn or _conv3x3_pallas
+        da = conv_fn(g, wt.astype(w.dtype), jnp.zeros((w.shape[2],), w.dtype))
+        pre, sig, act = _silu_chain(x, A, B)
+        dpre = da.astype(jnp.float32) * (sig * (1.0 + pre * (1.0 - sig)))
+        dx = (dpre * A[:, None, None, :]).astype(x.dtype)
+        dA = jnp.sum(dpre * x.astype(jnp.float32), axis=(1, 2))
+        dB = jnp.sum(dpre, axis=(1, 2))
     # dw/db: exact, via XLA on the recomputed activation — dead-code-
     # eliminated in the sampling path (guidance differentiates wrt the image)
     _, w_vjp = jax.vjp(lambda w_: _xla_conv(act.astype(x.dtype), w_), w)
@@ -385,6 +591,13 @@ def conv3x3_available(x_shape, kernel_shape, stride: int, padding) -> bool:
     cout_p = cout + ((-cout) % 128 if cout % 64 else 0)
     # the custom-vjp input gradient runs the kernel with (cout, cin)
     # transposed weights — both orientations must tile within budget
-    if _pick_tco(cin_p, cout_p) is None or _pick_tco(cout_p, cin_p) is None:
+    # (directly, or via the recursive Cin-split partial-sum chain)
+    def tiles(ci, co, depth=3):
+        if _pick_tco(ci, co) is not None:
+            return True
+        half = (ci // 2 + 127) // 128 * 128 if ci % 128 == 0 else ci // 2
+        return depth > 0 and half < ci and tiles(half, co, depth - 1)
+
+    if not tiles(cin_p, cout_p) or not tiles(cout_p, cin_p):
         return False
     return w >= 8 and h % 8 == 0 and np.prod(x_shape) > 0

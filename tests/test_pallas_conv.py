@@ -93,7 +93,8 @@ class TestConv3x3Pallas:
         assert conv3x3_available((1, 64, 64, 256), (3, 3, 256, 6), 1, ok)
         assert not conv3x3_available((1, 64, 64, 256), (3, 3, 256, 256), 2, ok)  # stride
         assert not conv3x3_available((1, 64, 64, 256), (1, 1, 256, 256), 1, ok)  # 1x1
-        assert not conv3x3_available((1, 64, 16, 256), (3, 3, 256, 256), 1, ok)  # W<32
+        assert conv3x3_available((1, 64, 16, 256), (3, 3, 256, 256), 1, ok)  # W>=8 (r2c)
+        assert not conv3x3_available((1, 64, 4, 256), (3, 3, 256, 256), 1, ok)  # W<8
         assert not conv3x3_available(
             (1, 64, 64, 256), (3, 3, 256, 256), 1, ((0, 0), (0, 0))  # valid pad
         )
@@ -177,6 +178,28 @@ class TestConv3x3Pallas:
             fus_g = jax.grad(loss)(x)
         np.testing.assert_allclose(np.asarray(fus_o), np.asarray(ref_o), atol=1e-3, rtol=1e-3)
         np.testing.assert_allclose(np.asarray(fus_g), np.asarray(ref_g), atol=1e-3, rtol=1e-3)
+
+    def test_cin_split_chain(self):
+        """ci-2048 decoder-bottleneck shapes: the [3,3,Cin,128] weight block
+        exceeds the VMEM budget, so the kernel splits the reduction in half
+        and chains the partial sum through the skip epilogue."""
+        from cgd_tpu.kernels.conv_pallas import _conv3x3_pallas, conv3x3_available
+
+        assert conv3x3_available((1, 16, 16, 2048), (3, 3, 2048, 1024), 1, ((1, 1), (1, 1)))
+        b, h, w, ci, co = 1, 16, 16, 2048, 1024
+        x = _rand((b, h, w, ci), 60)
+        wk = _rand((3, 3, ci, co), 61, 0.02)
+        bias = _rand((co,), 62)
+        A = 1.0 + 0.1 * _rand((b, ci), 63)
+        B = 0.1 * _rand((b, ci), 64)
+        act = jax.nn.silu(x * A[:, None, None, :] + B[:, None, None, :])
+        ref = jax.lax.conv_general_dilated(
+            act, wk, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        with pltpu.force_tpu_interpret_mode():
+            out = _conv3x3_pallas(x, wk, bias, A=A, B=B)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
 
     def test_explicit_halo_rows(self):
         """SPMD spatial-sharding support: explicit etop/ebot boundary rows
