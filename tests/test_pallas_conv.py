@@ -201,6 +201,33 @@ class TestConv3x3Pallas:
             out = _conv3x3_pallas(x, wk, bias, A=A, B=B)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
 
+    def test_bwd_falls_back_when_dx_kernel_ineligible(self, monkeypatch):
+        """Shapes whose fused-dx VMEM estimate exceeds the scoped limit
+        (wide W with fat channels) must take the exact composition backward
+        — gradient still matches the XLA reference."""
+        from cgd_tpu.kernels.conv_pallas import _dx_kernel_available
+        from cgd_tpu.ops import nn as cnn
+
+        b, h, w, ci, co = 1, 8, 256, 256, 512
+        # this is the fallback we claim to exercise
+        assert not _dx_kernel_available((b, h, w, co), (3, 3, co, ci))
+        x = _rand((b, h, w, ci), 70)
+        norm = {"scale": 1.0 + 0.1 * _rand((ci,), 71), "bias": 0.1 * _rand((ci,), 72)}
+        conv = {"kernel": _rand((3, 3, ci, co), 73, 0.03), "bias": _rand((co,), 74)}
+
+        def loss_ref(x):
+            hh = cnn.silu(cnn.group_norm(norm, x))
+            return jnp.sum(jnp.sin(cnn.conv2d(conv, hh)))
+
+        def loss_fused(x):
+            return jnp.sum(jnp.sin(cnn.fused_gn_silu_conv(norm, conv, x)))
+
+        g_ref = jax.grad(loss_ref)(x)
+        monkeypatch.setenv("CGD_TPU_PALLAS_CONV", "1")
+        with pltpu.force_tpu_interpret_mode():
+            g_fused = jax.grad(loss_fused)(x)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=5e-4, rtol=1e-3)
+
     def test_explicit_halo_rows(self):
         """SPMD spatial-sharding support: explicit etop/ebot boundary rows
         replace the zero pad — the kernel on rows [1, H+1) of a taller image
