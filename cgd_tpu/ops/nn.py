@@ -49,8 +49,6 @@ def _pallas_conv_mode(x_shape, kernel_shape, stride, padding) -> str:
     return "spmd" if os.environ.get("CGD_TPU_PALLAS_CONV_SPMD") == "1" else "plain"
 
 
-def _use_pallas_conv(x_shape, kernel_shape, stride, padding) -> bool:
-    return bool(_pallas_conv_mode(x_shape, kernel_shape, stride, padding))
 
 
 def silu(x: jnp.ndarray) -> jnp.ndarray:
@@ -290,8 +288,6 @@ def qkv_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     attention (T=1024, d=64): within noise of XLA (0.63 vs 0.65 ms fwd) —
     XLA already keeps these logits on-chip, so it stays opt-in.
     """
-    import os
-
     b, t, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
