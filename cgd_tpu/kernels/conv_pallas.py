@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 _W_BYTES_BUDGET = 4 * 1024 * 1024  # per-block weight bytes (double-buffered)
 
 
-def _pick_tco(cin: int, cout: int):
+def _pick_tco(cin: int, cout: int, itemsize: int = 2):
     """Cout tile + the (possibly padded) Cout it tiles.
 
     Prefers a tile that divides cout exactly (a multiple of 128 per Mosaic's
@@ -44,9 +44,10 @@ def _pick_tco(cin: int, cout: int):
     multiple of the largest budget-fitting 128-tile (e.g. the 64px model's
     576-channel convs -> tiled as 5x128 over 640, sliced after). Returns
     None only when even a 128 tile's [3,3,Cin,128] weight block exceeds the
-    VMEM budget."""
+    VMEM budget. ``itemsize``: activation/weight bytes — the LPIPS VGG runs
+    its convs in f32 (OOM'd with 2-byte sizing, measured 2026-08-17)."""
     def fits(c):
-        return 9 * cin * c * 2 <= _W_BYTES_BUDGET
+        return 9 * cin * c * itemsize <= _W_BYTES_BUDGET
 
     for c in [cout] + [512, 384, 256, 128]:
         if 0 < c <= cout and cout % c == 0 and (c % 128 == 0 or c == cout) and fits(c):
@@ -57,40 +58,88 @@ def _pick_tco(cin: int, cout: int):
     return None
 
 
-def _pick_th(h: int, w: int, cin: int, tco: int) -> int:
-    """Row-window height: big enough that the [TH*W, Cin] matmul fills the
-    MXU, small enough that the x block stream (double-buffered) + the
-    in-kernel halo'd copy (th+2, W+2, cin) + f32 acc fit VMEM comfortably."""
+def _pick_th(h: int, w: int, cin: int, tco: int, resample: str = "",
+             itemsize: int = 2) -> int:
+    """Row-window height (OUTPUT space): big enough that the [TH*W, Cin]
+    matmul fills the MXU, small enough that the x block stream (double-
+    buffered) + the in-kernel halo'd copy (th+2, W+2, cin) + f32 acc fit
+    VMEM comfortably. The 'down' fused resample streams 4x the source
+    pixels per output block."""
+    xf = 1  # ('down' fused resample was removed — Mosaic cannot lower it)
     th = 8
     while th < h and th * w < 2048:
         nth = th * 2
         if h % nth != 0:
             break
-        use = 3 * (nth + 2) * (w + 2) * cin * 2 + nth * w * tco * 6
+        use = (3 * xf * (nth + 2) * (w + 2) * cin * itemsize
+               + nth * w * tco * (4 + itemsize))
         if use > 8 * 1024 * 1024:
             break
         th = nth
     return th
 
 
-def _dx_vmem_estimate(th, w, cin, tco) -> int:
+def _fwd_vmem_estimate(th, w, cin, tco, z, resample="", has_skip=False) -> float:
+    """Scoped-VMEM estimate (bytes) for _conv_kernel: the in-kernel halo'd
+    copy + f32 accumulator on the stack, plus the double-buffered streamed
+    blocks. Calibrated against measured axon OOMs (2026-08-17): plain
+    th8/w512/cin256/tco256 -> est 18.6M vs actual 18.11M; the known-good
+    th8/w256/cin512/tco256 -> est 16.8M ran within the 16M limit."""
+    if resample == "up":
+        src_px, hrow_px = th * w // 4, w // 2
+        # row- and col-duplication each materialize a block-sized copy
+        # (measured 16.43M vs a 15.?M estimate at 128^2 ci512 without this)
+        extra = 3 * th * w * cin * z
+    else:
+        src_px, hrow_px = th * w, w
+        extra = 0
+    stack = (th + 2) * (w + 2) * cin * z + th * w * tco * 4 + extra
+    pipe = 2 * (src_px * cin * z + 2 * hrow_px * cin * z
+                + 9 * cin * tco * z + th * w * tco * z)
+    if has_skip:
+        pipe += 2 * th * w * tco * z
+    return stack + pipe
+
+
+_FWD_VMEM_LIMIT = 17.0 * 1024 * 1024  # est-space cap (~16M actual, see above)
+
+
+def _plan_fwd(h, w, cin, cout_padded, z, resample="", has_skip=False):
+    """(tco, cout_p, th) for the forward kernel, shrinking the Cout tile
+    until the program fits scoped VMEM; None if nothing fits (callers fall
+    back to XLA via the availability gates)."""
+    picked = _pick_tco(cin, cout_padded, z)
+    if picked is None:
+        return None
+    tco, cout_p = picked
+    for c in [tco] + [t for t in (512, 384, 256, 128) if t < tco]:
+        if cout_p % c or (c % 128 and c != cout_p):
+            continue
+        th = _pick_th(h, w, cin, c, resample, z)
+        if _fwd_vmem_estimate(th, w, cin, c, z, resample, has_skip) <= _FWD_VMEM_LIMIT:
+            return c, cout_p, th
+    return None
+
+
+def _dx_vmem_estimate(th, w, cin, tco, itemsize=2) -> int:
     """Scoped-VMEM estimate for _conv_dx_kernel: streamed blocks (double-
     buffered) + the in-kernel f32 temporaries. Mosaic keeps ~3 of the f32
     epilogue temps (acc/xs/pre/sig/dpre) live at once — calibrated against
     the measured 17.2 MB OOM at (th=8, w=256, cin=256, tco=512)."""
-    stack = (th + 2) * (w + 2) * cin * 2 + 3 * th * w * tco * 4 + th * w * tco * 2
-    pipe = 2 * (th * w * cin * 2 + 2 * w * cin * 2 + 9 * cin * tco * 2
-                + 2 * th * w * tco * 2)
+    z = itemsize
+    stack = (th + 2) * (w + 2) * cin * z + 3 * th * w * tco * 4 + th * w * tco * z
+    pipe = 2 * (th * w * cin * z + 2 * w * cin * z + 9 * cin * tco * z
+                + 2 * th * w * tco * z)
     return stack + pipe
 
 
-def _pick_dx_tiles(h, w, cin, cout):
+def _pick_dx_tiles(h, w, cin, cout, itemsize=2):
     """(tco, cout_p) for the fused-backward kernel. Starts from _pick_tco's
     choice, then shrinks the Cout tile until the whole program — including
     the five f32 temporaries the epilogue keeps live — fits the 16 MB
     scoped-VMEM limit (measured OOM at 17.2 MB with tco=512 at 256^2x256,
     axon remote compile 2026-08-17). Returns (None, None) if nothing fits."""
-    picked = _pick_tco(cin, cout)
+    picked = _pick_tco(cin, cout, itemsize)
     if picked is None:
         return None, None
     tco, cout_p = picked
@@ -98,13 +147,14 @@ def _pick_dx_tiles(h, w, cin, cout):
     for c in candidates:
         if cout_p % c or (c % 128 and c != cout_p):
             continue
-        th = _pick_th(h, w, cin, c)
-        if _dx_vmem_estimate(th, w, cin, c) <= 12 * 1024 * 1024:
+        th = _pick_th(h, w, cin, c, itemsize=itemsize)
+        if _dx_vmem_estimate(th, w, cin, c, itemsize) <= 12 * 1024 * 1024:
             return c, cout_p
     return None, None
 
 
-def _conv_kernel(*refs, th, w_dim, cin, nblk, prologue, has_skip, explicit_halo=False):
+def _conv_kernel(*refs, th, w_dim, cin, nblk, prologue, has_skip,
+                 explicit_halo=False, resample=""):
     """One program: rows [i*TH, i*TH+TH) of one batch, one Cout tile.
 
     The halo is assembled IN KERNEL (no host jnp.pad — that cost ~2 ms/step
@@ -127,6 +177,11 @@ def _conv_kernel(*refs, th, w_dim, cin, nblk, prologue, has_skip, explicit_halo=
     carry the neighbor shard's boundary rows (POST-activation; zero-filled by
     ppermute at the true image edges), used instead of the zeroed clamp rows
     at this shard's first/last row block.
+    ``resample``: 'down'/'up' fuse the up/down ResBlock's avg-pool-2x /
+    nearest-2x between the activation and the conv taps (reference chain:
+    ext guided_diffusion unet.py ResBlock with up/down — h_upd sits between
+    in_rest and in_conv). x/top/bot stream SOURCE-resolution rows; th,
+    w_dim, nblk and the halo zeroing are all in OUTPUT (resampled) space.
     """
     if prologue:
         x_ref, top_ref, bot_ref, a_ref, b2_ref, w_ref, b_ref = refs[:7]
@@ -150,13 +205,36 @@ def _conv_kernel(*refs, th, w_dim, cin, nblk, prologue, has_skip, explicit_halo=
         pre = v.astype(jnp.float32) * a_ref[:] + b2_ref[:]
         return (pre * jax.nn.sigmoid(pre)).astype(dt)
 
+    # Mosaic lowering constraints shape this (bisected on the axon remote
+    # compiler 2026-08-17): stride-2 slices / interleaving reshapes on 3-D
+    # values lower to >2-D gathers ("Only 2D gather is supported"), and 2-D
+    # strided slices hit a gather shape-mismatch — which rules out a fused
+    # 'down' (avg-pool) prologue entirely (negative result in PERF.md).
+    # Leading-dim (untiled) reshapes and broadcasts ARE free, which is all
+    # nearest-2x needs — so only 'up' is fused, via the merged
+    # (rows*cols, cin) form.
+    if resample == "up":
+        def res(v):  # act'ed (r, W, cin) -> nearest-2x (2r, 2W, cin)
+            r, wd, c = v.shape
+            rows = jnp.broadcast_to(v[:, None], (r, 2, wd, c)).reshape(2 * r, wd, c)
+            m = rows.reshape(2 * r * wd, c)
+            cols = jnp.broadcast_to(m[:, None, :], (2 * r * wd, 2, c))
+            return cols.reshape(2 * r, 2 * wd, c)
+    else:
+        def res(v):
+            return v
+
     if explicit_halo:
         top = jnp.where(i == 0, etop_ref[:], act(top_ref[:]))
         bot = jnp.where(i == nblk - 1, ebot_ref[:], act(bot_ref[:]))
     else:
-        top = act(top_ref[:]) * jnp.where(i == 0, 0, 1).astype(dt)
-        bot = act(bot_ref[:]) * jnp.where(i == nblk - 1, 0, 1).astype(dt)
-    xw = jnp.concatenate([top, act(x_ref[:]), bot], axis=0)  # (th+2, W, cin)
+        top = res(act(top_ref[:])) * jnp.where(i == 0, 0, 1).astype(dt)
+        bot = res(act(bot_ref[:])) * jnp.where(i == nblk - 1, 0, 1).astype(dt)
+        if resample == "up":
+            # a single source halo row duplicates to two output rows; the
+            # conv halo needs exactly the one adjacent output row
+            top, bot = top[1:2], bot[0:1]
+    xw = jnp.concatenate([top, res(act(x_ref[:])), bot], axis=0)  # (th+2, W, cin)
     zcol = jnp.zeros((th + 2, 1, cin), dt)
     xw = jnp.concatenate([zcol, xw, zcol], axis=1)  # (th+2, W+2, cin)
 
@@ -175,7 +253,8 @@ def _conv_kernel(*refs, th, w_dim, cin, nblk, prologue, has_skip, explicit_halo=
     out_ref[:] = acc.reshape(th, w_dim, tco).astype(out_ref.dtype)
 
 
-def _conv3x3_pallas(x, w, bias, A=None, B=None, skip=None, etop=None, ebot=None):
+def _conv3x3_pallas(x, w, bias, A=None, B=None, skip=None, etop=None, ebot=None,
+                    resample=""):
     """x [B,H,W,Cin] -> [B,H,W,Cout]; w [3,3,Cin,Cout] HWIO; stride 1, pad 1.
 
     Optional fusions: ``A``/``B`` [Bb,Cin] f32 prologue vectors
@@ -189,10 +268,16 @@ def _conv3x3_pallas(x, w, bias, A=None, B=None, skip=None, etop=None, ebot=None)
     zero-padded to a lane tile; the padded MXU work is still ~2x faster
     than XLA's layout shuffling at those shapes.
     """
-    b, h, w_dim, cin = x.shape
+    b, h_src, w_src, cin = x.shape
+    assert resample in ("", "up"), resample
+    if resample == "up":
+        h, w_dim = h_src * 2, w_src * 2
+    else:
+        h, w_dim = h_src, w_src
     cout = w.shape[-1]
     prologue = A is not None
     explicit_halo = etop is not None
+    assert not (explicit_halo and resample), "SPMD halo + fused resample unsupported"
     cin_pad = (-cin) % 128 if cin % 64 else 0
     cout_pad = (-cout) % 128 if cout % 64 else 0
     if cin_pad:
@@ -205,13 +290,21 @@ def _conv3x3_pallas(x, w, bias, A=None, B=None, skip=None, etop=None, ebot=None)
             etop = jnp.pad(etop, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
             ebot = jnp.pad(ebot, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
         cin += cin_pad
-    picked = _pick_tco(cin, cout + cout_pad)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    picked = _plan_fwd(h, w_dim, cin, cout + cout_pad, itemsize,
+                       resample=resample, has_skip=skip is not None)
     if picked is None:
-        # Cin too fat for a [3,3,Cin,128] weight block in the VMEM budget
-        # (the decoder-bottleneck ci-2048 convs): split the reduction in
-        # half and chain the partial sum through the skip epilogue — same
-        # MXU work, one tiny [B,H,W,Cout] intermediate.
+        # No single-pass plan fits scoped VMEM (weights too fat for a
+        # [3,3,Cin,128] block — the ci-2048 decoder-bottleneck convs — or
+        # the streams too wide at W=512): split the reduction in half and
+        # chain the partial sum through the skip epilogue — same MXU work,
+        # one tiny [B,H,W,Cout] intermediate.
         c1 = (cin // 2 + 127) // 128 * 128 if cin % 128 == 0 else cin // 2
+        if not 0 < c1 < cin:
+            raise ValueError(
+                f"conv3x3 pallas: no VMEM plan for cin={cin} at this shape "
+                "(availability gate should have routed this conv to XLA)"
+            )
         first = _conv3x3_pallas(
             x[..., :c1], w[:, :, :c1], jnp.zeros_like(bias),
             A=None if A is None else A[:, :c1],
@@ -219,6 +312,7 @@ def _conv3x3_pallas(x, w, bias, A=None, B=None, skip=None, etop=None, ebot=None)
             skip=skip,
             etop=None if etop is None else etop[..., :c1],
             ebot=None if ebot is None else ebot[..., :c1],
+            resample=resample,
         )
         return _conv3x3_pallas(
             x[..., c1:], w[:, :, c1:], bias,
@@ -227,41 +321,54 @@ def _conv3x3_pallas(x, w, bias, A=None, B=None, skip=None, etop=None, ebot=None)
             skip=first.astype(x.dtype),
             etop=None if etop is None else etop[..., c1:],
             ebot=None if ebot is None else ebot[..., c1:],
+            resample=resample,
         )
-    tco, cout_p = picked
+    tco, cout_p, th = picked
     if cout_p != cout:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_p - cout)))
         bias = jnp.pad(bias, (0, cout_p - cout))
         if skip is not None:
             skip = jnp.pad(skip, ((0, 0), (0, 0), (0, 0), (0, cout_p - cout)))
-    th = _pick_th(h, w_dim, cin, tco)
     nblk = h // th
 
     kern = functools.partial(
         _conv_kernel, th=th, w_dim=w_dim, cin=cin, nblk=nblk,
         prologue=prologue, has_skip=skip is not None,
-        explicit_halo=explicit_halo,
+        explicit_halo=explicit_halo, resample=resample,
     )
     # grid: h fastest so the (j)-indexed weight block stays resident across
     # a full column sweep; x windows re-stream once per Cout tile. x rides
     # in three specs: the TH-row main block plus the two single-row halos
     # (their index maps clamp at the edges; the kernel zeroes the clamped
     # duplicates — that IS the pad-1 boundary).
+    # source-space row-block heights and halo-row block heights: the main
+    # block covers the source rows that RESAMPLE to this output block; halo
+    # blocks cover the source rows pooling/duplicating to the one adjacent
+    # output row (down: 2 source rows; up: 1 source row shared by 2 output
+    # rows — the kernel slices the right duplicate)
+    if resample == "up":
+        mrows, hrows = th // 2, 1
+    else:
+        mrows, hrows = th, 1
+    hsrc_blocks = h_src // hrows  # halo blocks per source image
+
+    def top_map(nb, j, i):
+        if resample == "up":
+            return (nb, jnp.maximum(i * (th // 2) - 1, 0), 0, 0)
+        return (nb, jnp.maximum(i * th - 1, 0), 0, 0)
+
+    def bot_map(nb, j, i):
+        if resample == "up":
+            return (nb, jnp.minimum(i * (th // 2) + th // 2, hsrc_blocks - 1), 0, 0)
+        return (nb, jnp.minimum(i * th + th, hsrc_blocks - 1), 0, 0)
+
     in_specs = [
         pl.BlockSpec(
-            (None, th, w_dim, cin), lambda nb, j, i: (nb, i, 0, 0),
+            (None, mrows, w_src, cin), lambda nb, j, i: (nb, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (None, 1, w_dim, cin),
-            lambda nb, j, i: (nb, jnp.maximum(i * th - 1, 0), 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (None, 1, w_dim, cin),
-            lambda nb, j, i: (nb, jnp.minimum(i * th + th, th * nblk - 1), 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        pl.BlockSpec((None, hrows, w_src, cin), top_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, hrows, w_src, cin), bot_map, memory_space=pltpu.VMEM),
     ]
     operands = [x, x, x]
     if prologue:
@@ -405,7 +512,8 @@ def _conv3x3_dx_pallas(g, wt, x, A, B):
         g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
         wt = jnp.pad(wt, ((0, 0), (0, 0), (0, cin_pad), (0, 0)))
         cin += cin_pad
-    tco, cout_p = _pick_dx_tiles(h, w_dim, cin, cout + cout_pad)
+    itemsize = jnp.dtype(g.dtype).itemsize
+    tco, cout_p = _pick_dx_tiles(h, w_dim, cin, cout + cout_pad, itemsize)
     if tco is None:
         raise ValueError("dx kernel tiles do not fit VMEM; gate should have caught this")
     if cout_p != cout:
@@ -413,7 +521,7 @@ def _conv3x3_dx_pallas(g, wt, x, A, B):
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cout_p - cout)))
         A = jnp.pad(A, ((0, 0), (0, cout_p - cout)))
         B = jnp.pad(B, ((0, 0), (0, cout_p - cout)))
-    th = _pick_th(h, w_dim, cin, tco)
+    th = _pick_th(h, w_dim, cin, tco, itemsize=itemsize)
     nblk = h // th
 
     kern = functools.partial(_conv_dx_kernel, th=th, w_dim=w_dim, cin=cin, nblk=nblk)
@@ -485,14 +593,14 @@ def _conv3x3_dx_pallas(g, wt, x, A, B):
     return dx, dA, dB
 
 
-def _dx_kernel_available(g_shape, wt_shape) -> bool:
+def _dx_kernel_available(g_shape, wt_shape, itemsize: int = 2) -> bool:
     b, h, w, cin = g_shape
     cout = wt_shape[-1]
     cin_p = cin + ((-cin) % 128 if cin % 64 else 0)
     cout_p = cout + ((-cout) % 128 if cout % 64 else 0)
     return (
         w >= 8 and h % 8 == 0 and np.prod(g_shape) > 0
-        and _pick_dx_tiles(h, w, cin_p, cout_p)[0] is not None
+        and _pick_dx_tiles(h, w, cin_p, cout_p, itemsize)[0] is not None
     )
 
 
@@ -513,7 +621,9 @@ def _fused_bwd_common(x, A, B, w, g, conv_fn=None):
     GroupNorm statistics, so d(loss)/d(image) flows through them outside the
     kernel."""
     wt = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
-    if conv_fn is None and _dx_kernel_available(g.shape, wt.shape):
+    if conv_fn is None and _dx_kernel_available(
+        g.shape, wt.shape, jnp.dtype(g.dtype).itemsize
+    ):
         # single-kernel backward: transpose conv + silu'/affine chain +
         # dA/dB partial reductions in one pass (no da round trip)
         dx, dA, dB = _conv3x3_dx_pallas(g, wt.astype(w.dtype), x, A, B)
@@ -574,11 +684,101 @@ def _gn_silu_add_bwd(res, g):
 conv3x3_gn_silu_add.defvjp(_gn_silu_add_fwd, _gn_silu_add_bwd)
 
 
-def conv3x3_available(x_shape, kernel_shape, stride: int, padding) -> bool:
+def _resample_fused(x, A, B, w, bias, mode):
+    return _conv3x3_pallas(x, w, bias, A=A, B=B, resample=mode)
+
+
+def _resample_fused_bwd(mode, x, A, B, w, g):
+    """Backward of conv3x3(resample(silu(x*A+B))) + bias.
+
+    da (cotangent of the resampled activation) rides the plain Pallas
+    transpose conv in OUTPUT space; the resample adjoint is exact:
+    avg-pool-2x adjoint = nearest-2x(da)/4, nearest-2x adjoint = 4*avg-pool
+    (sum of the four duplicated cells)."""
+    wt = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+    da = _conv3x3_pallas(g, wt.astype(w.dtype), jnp.zeros((w.shape[2],), w.dtype))
+    da = da.astype(jnp.float32)
+    assert mode == "up"
+    b_, ho, wo, c = da.shape
+    da_act = jnp.sum(da.reshape(b_, ho // 2, 2, wo // 2, 2, c), axis=(2, 4))
+    pre, sig, act = _silu_chain(x, A, B)
+    dpre = da_act * (sig * (1.0 + pre * (1.0 - sig)))
+    dx = (dpre * A[:, None, None, :]).astype(x.dtype)
+    dA = jnp.sum(dpre * x.astype(jnp.float32), axis=(1, 2))
+    dB = jnp.sum(dpre, axis=(1, 2))
+    # dw/db exact via XLA on the recomputed resampled activation (DCE'd in
+    # the sampling path)
+    act = act.astype(x.dtype)
+    bb, hh, ww, c = act.shape
+    r = jnp.broadcast_to(
+        act[:, :, None, :, None, :], (bb, hh, 2, ww, 2, c)
+    ).reshape(bb, 2 * hh, 2 * ww, c)
+    _, w_vjp = jax.vjp(lambda w_: _xla_conv(r, w_), w)
+    (dw,) = w_vjp(g.astype(x.dtype))
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(g.dtype)
+    return dx, dA, dB, dw, db
+
+
+@jax.custom_vjp
+def conv3x3_gn_silu_up(x, A, B, w, bias):
+    """conv3x3(nearest_2x(silu(x*A + B))) + bias — the up-ResBlock's whole
+    in_layers+h_upd+in_conv chain in one kernel."""
+    return _resample_fused(x, A, B, w, bias, "up")
+
+
+def _gn_up_fwd(x, A, B, w, bias):
+    return _resample_fused(x, A, B, w, bias, "up"), (x, A, B, w)
+
+
+def _gn_up_bwd(res, g):
+    return _resample_fused_bwd("up", *res, g)
+
+
+conv3x3_gn_silu_up.defvjp(_gn_up_fwd, _gn_up_bwd)
+
+
+def resample_fused_available(x_shape, kernel_shape, mode: str,
+                             itemsize: int = 2) -> bool:
+    """Gate for the fused resample+conv: only 'up' (nearest-2x) — Mosaic
+    cannot lower any stride-2 column selection, so the avg-pool 'down'
+    prologue stays unfused (see _conv_kernel notes / PERF.md). The OUTPUT-
+    space shape must be kernel-eligible and a resample-aware VMEM plan must
+    exist."""
+    b, h, w, cin = x_shape
+    if mode == "up":
+        out_shape = (b, h * 2, w * 2, cin)
+    else:
+        return False
+    # the nearest-2x merge reshapes need full 128-lane tiles: cin that
+    # stays at a 64-lane remainder inside the kernel (64, 192, ...) hits
+    # "infer-vector-layout: unsupported shape cast" on the axon Mosaic
+    # (measured 2026-08-17 on the 64-ch tiny config)
+    cin_k = cin + ((-cin) % 128 if cin % 64 else 0)
+    if cin_k % 128:
+        return False
+    if not conv3x3_available(out_shape, kernel_shape, 1, ((1, 1), (1, 1)), itemsize):
+        return False
+    cout = kernel_shape[3]
+    cin_p = cin + ((-cin) % 128 if cin % 64 else 0)
+    cout_p = cout + ((-cout) % 128 if cout % 64 else 0)
+    ho, wo = out_shape[1], out_shape[2]
+
+    def tiles(ci, depth=3):
+        if _plan_fwd(ho, wo, ci, cout_p, itemsize, resample=mode) is not None:
+            return True
+        half = (ci // 2 + 127) // 128 * 128 if ci % 128 == 0 else ci // 2
+        return depth > 0 and 0 < half < ci and tiles(half, depth - 1)
+
+    return tiles(cin_p)
+
+
+def conv3x3_available(x_shape, kernel_shape, stride: int, padding,
+                      itemsize: int = 2) -> bool:
     """Gate: 3x3 stride-1 symmetric-pad-1 NHWC shapes this kernel handles
     AND wins on. W >= 8 since round 2c: the r2c profile showed the 16^2/8^2
     bottleneck-level convs XLA kept were ~5.5 ms/step of T(2,128)-layout
-    fusions at ~30% MXU efficiency; routing them here won e2e (PERF.md)."""
+    fusions at ~30% MXU efficiency; routing them here won e2e (PERF.md).
+    ``itemsize``: activation bytes (the LPIPS VGG convs run in f32)."""
     kh, kw = kernel_shape[0], kernel_shape[1]
     if (kh, kw) != (3, 3) or stride != 1:
         return False
@@ -586,18 +786,19 @@ def conv3x3_available(x_shape, kernel_shape, stride: int, padding) -> bool:
         return False
     h, w, cin = x_shape[1], x_shape[2], x_shape[3]
     cout = kernel_shape[3]
+    if not (w >= 8 and h % 8 == 0 and np.prod(x_shape) > 0):
+        return False
     # skinny channels are zero-padded to a lane tile inside the kernel
     cin_p = cin + ((-cin) % 128 if cin % 64 else 0)
     cout_p = cout + ((-cout) % 128 if cout % 64 else 0)
     # the custom-vjp input gradient runs the kernel with (cout, cin)
-    # transposed weights — both orientations must tile within budget
-    # (directly, or via the recursive Cin-split partial-sum chain)
+    # transposed weights — both orientations need a scoped-VMEM plan
+    # (directly, or via the recursive Cin-split partial-sum chain); skip
+    # included as margin since the fused epilogue streams one more block
     def tiles(ci, co, depth=3):
-        if _pick_tco(ci, co) is not None:
+        if _plan_fwd(h, w, ci, co, itemsize, has_skip=True) is not None:
             return True
         half = (ci // 2 + 127) // 128 * 128 if ci % 128 == 0 else ci // 2
-        return depth > 0 and half < ci and tiles(half, co, depth - 1)
+        return depth > 0 and 0 < half < ci and tiles(half, co, depth - 1)
 
-    if not tiles(cin_p, cout_p) or not tiles(cout_p, cin_p):
-        return False
-    return w >= 8 and h % 8 == 0 and np.prod(x_shape) > 0
+    return tiles(cin_p, cout_p) and tiles(cout_p, cin_p)

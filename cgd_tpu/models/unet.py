@@ -216,18 +216,13 @@ def init_unet(key, cfg: UNetConfig):
 
 def _apply_res(p, cfg: UNetConfig, x, emb, mode: str, rng=None):
     dropout = cfg.dropout > 0.0 and rng is not None
-    if mode == "":
-        # GN+SiLU fused into the conv's Pallas window load when eligible
-        h = cnn.fused_gn_silu_conv(p["in_norm"], p["in_conv"], x)
-    else:
-        h = cnn.silu(cnn.group_norm(p["in_norm"], x))
-        if mode == "up":
-            h = cnn.upsample_nearest_2x(h)
-            x = cnn.upsample_nearest_2x(x)
-        elif mode == "down":
-            h = cnn.avg_pool_2x(h)
-            x = cnn.avg_pool_2x(x)
-        h = cnn.conv2d(p["in_conv"], h)
+    # GN+SiLU (+ the up/down h_upd resample) fused into the conv's Pallas
+    # window load when eligible; exact unfused fallback otherwise
+    h = cnn.fused_gn_silu_conv(p["in_norm"], p["in_conv"], x, resample=mode)
+    if mode == "up":
+        x = cnn.upsample_nearest_2x(x)
+    elif mode == "down":
+        x = cnn.avg_pool_2x(x)
 
     emb_out = cnn.dense(p["emb"], cnn.silu(emb))[:, None, None, :]
     skip = cnn.conv2d(p["skip"], x) if "skip" in p else x

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _pallas_conv_mode(x_shape, kernel_shape, stride, padding) -> str:
+def _pallas_conv_mode(x_shape, kernel_shape, stride, padding, itemsize=2) -> str:
     """'' (XLA), 'plain', or 'spmd' for an eligible 3x3 conv.
 
     Default ON ('plain') for accelerator backends — measured e2e win at the
@@ -44,7 +44,7 @@ def _pallas_conv_mode(x_shape, kernel_shape, stride, padding) -> str:
         return ""
     from cgd_tpu.kernels.conv_pallas import conv3x3_available
 
-    if not conv3x3_available(x_shape, kernel_shape, stride, padding):
+    if not conv3x3_available(x_shape, kernel_shape, stride, padding, itemsize):
         return ""
     return "spmd" if os.environ.get("CGD_TPU_PALLAS_CONV_SPMD") == "1" else "plain"
 
@@ -108,7 +108,9 @@ def conv2d(params, x: jnp.ndarray, stride: int = 1, padding=None) -> jnp.ndarray
         # the ADM skip-projection convs alone cost ~5 ms/step as convs).
         out = jnp.einsum("bhwc,cd->bhwd", x, kernel[0, 0])
         return out + params["bias"].astype(out.dtype)
-    mode = _pallas_conv_mode(x.shape, kernel.shape, stride, padding)
+    mode = _pallas_conv_mode(
+        x.shape, kernel.shape, stride, padding, jnp.dtype(x.dtype).itemsize
+    )
     if mode:
         if mode == "spmd":
             from cgd_tpu.kernels.conv_spmd import conv3x3
@@ -193,34 +195,56 @@ def fused_gn_silu_conv(
     skip: Optional[jnp.ndarray] = None,
     num_groups: int = 32,
     eps: float = 1e-5,
+    resample: str = "",
 ) -> jnp.ndarray:
-    """GroupNorm -> [emb scale-shift] -> SiLU -> conv3x3 [+ residual], with
-    the whole elementwise chain fused into the Pallas conv's window load.
+    """GroupNorm -> [emb scale-shift] -> SiLU -> [avg-pool/nearest-2x] ->
+    conv3x3 [+ residual], with the whole elementwise (+resample) chain
+    fused into the Pallas conv's window load.
 
     The GN apply + scale-shift collapse into per-(batch, channel) f32
     vectors A/B (act = silu(x*A + B)); only the tiny stats reduction stays
     outside the kernel. Saves one full HBM write+read of the activation
     tensor per conv vs the unfused chain (and the residual add's read+write
-    when ``skip`` is given). Reference chain: ext guided_diffusion unet.py
-    ResBlock (GroupNorm32 -> SiLU -> conv, use_scale_shift_norm variant).
+    when ``skip`` is given; and the resampled tensor's round trip when
+    ``resample`` is 'down'/'up'). Reference chain: ext guided_diffusion
+    unet.py ResBlock (GroupNorm32 -> SiLU -> [h_upd] -> conv,
+    use_scale_shift_norm variant).
 
     Falls back to the exact unfused ops when the Pallas conv is unavailable
     (CPU backends, mesh-sharded runs, ineligible shapes).
     """
     kernel = conv_params["kernel"]
-    mode = _pallas_conv_mode(x.shape, kernel.shape, 1, ((1, 1), (1, 1)))
+    mode = _pallas_conv_mode(
+        x.shape, kernel.shape, 1, ((1, 1), (1, 1)), jnp.dtype(x.dtype).itemsize
+    )
+    if mode and resample:
+        from cgd_tpu.kernels.conv_pallas import resample_fused_available
+
+        # the SPMD wrappers do not cover the resample variants
+        if mode != "plain" or not resample_fused_available(
+            x.shape, kernel.shape, resample, jnp.dtype(x.dtype).itemsize
+        ):
+            mode = ""
     if not mode:
         h = group_norm(norm_params, x, num_groups, eps)
         if scale_shift is not None:
             h = h * (1.0 + scale_shift[0]) + scale_shift[1]
         h = silu(h)
+        if resample == "down":
+            h = avg_pool_2x(h)
+        elif resample == "up":
+            h = upsample_nearest_2x(h)
         out = conv2d(conv_params, h)
         return out + skip if skip is not None else out
 
     if mode == "spmd":
         from cgd_tpu.kernels.conv_spmd import conv3x3_gn_silu, conv3x3_gn_silu_add
     else:
-        from cgd_tpu.kernels.conv_pallas import conv3x3_gn_silu, conv3x3_gn_silu_add
+        from cgd_tpu.kernels.conv_pallas import (
+            conv3x3_gn_silu,
+            conv3x3_gn_silu_add,
+            conv3x3_gn_silu_up,
+        )
 
     b, c = x.shape[0], x.shape[-1]
     groups = _gn_groups(c, num_groups)
@@ -239,6 +263,8 @@ def fused_gn_silu_conv(
         B = B * (1.0 + s) + t
     wk = kernel.astype(x.dtype)
     bias = conv_params["bias"].astype(x.dtype)
+    if resample == "up":
+        return conv3x3_gn_silu_up(x, A, B, wk, bias)
     if skip is not None:
         return conv3x3_gn_silu_add(x, A, B, wk, bias, skip.astype(x.dtype))
     return conv3x3_gn_silu(x, A, B, wk, bias)

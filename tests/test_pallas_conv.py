@@ -201,6 +201,45 @@ class TestConv3x3Pallas:
             out = _conv3x3_pallas(x, wk, bias, A=A, B=B)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
 
+    def test_down_resample_not_fused(self):
+        """Negative result pinned: Mosaic cannot lower any stride-2 column
+        selection, so the avg-pool 'down' prologue must NOT route to the
+        kernel (it would fail at real-device compile time)."""
+        from cgd_tpu.kernels.conv_pallas import resample_fused_available
+
+        assert not resample_fused_available((1, 32, 32, 128), (3, 3, 128, 128), "down")
+        assert resample_fused_available((1, 16, 16, 128), (3, 3, 128, 128), "up")
+
+    @pytest.mark.parametrize("mode", ["up"])
+    def test_fused_resample_conv(self, mode, monkeypatch):
+        """conv3x3_gn_silu_up == GN -> SiLU -> nearest-2x -> conv unfused
+        chain (fwd + full gradient). 'down' deliberately not fused (see
+        test_down_resample_not_fused)."""
+        from cgd_tpu.ops import nn as cnn
+
+        b, h, w, ci, co = 1, 16, 32, 128, 128
+        x = _rand((b, h, w, ci), 80)
+        norm = {"scale": 1.0 + 0.1 * _rand((ci,), 81), "bias": 0.1 * _rand((ci,), 82)}
+        conv = {"kernel": _rand((3, 3, ci, co), 83, 0.05), "bias": _rand((co,), 84)}
+
+        def ref_fn(x):
+            hh = cnn.silu(cnn.group_norm(norm, x))
+            hh = cnn.avg_pool_2x(hh) if mode == "down" else cnn.upsample_nearest_2x(hh)
+            return cnn.conv2d(conv, hh)
+
+        def fused_fn(x):
+            return cnn.fused_gn_silu_conv(norm, conv, x, resample=mode)
+
+        ref = ref_fn(x)
+        g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(ref_fn(x))))(x)
+        monkeypatch.setenv("CGD_TPU_PALLAS_CONV", "1")
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_fn(x)
+            g_out = jax.grad(lambda x: jnp.sum(jnp.sin(fused_fn(x))))(x)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=5e-4, rtol=1e-3)
+
     def test_bwd_falls_back_when_dx_kernel_ineligible(self, monkeypatch):
         """Shapes whose fused-dx VMEM estimate exceeds the scoped limit
         (wide W with fat channels) must take the exact composition backward
