@@ -79,7 +79,8 @@ def _pick_th(h: int, w: int, cin: int, tco: int, resample: str = "",
     return th
 
 
-def _fwd_vmem_estimate(th, w, cin, tco, z, resample="", has_skip=False) -> float:
+def _fwd_vmem_estimate(th, w, cin, tco, z, resample="", has_skip=False,
+                       prologue=True) -> float:
     """Scoped-VMEM estimate (bytes) for _conv_kernel: the in-kernel halo'd
     copy + f32 accumulator on the stack, plus the double-buffered streamed
     blocks. Calibrated against measured axon OOMs (2026-08-17): plain
@@ -88,11 +89,18 @@ def _fwd_vmem_estimate(th, w, cin, tco, z, resample="", has_skip=False) -> float
     if resample == "up":
         src_px, hrow_px = th * w // 4, w // 2
         # row- and col-duplication each materialize a block-sized copy
-        # (measured 16.43M vs a 15.?M estimate at 128^2 ci512 without this)
+        # (measured 16.43M OOM at 128^2 ci512 without this; the same shape
+        # runs at the tco this term forces — on-device val 2026-08-17)
         extra = 3 * th * w * cin * z
     else:
         src_px, hrow_px = th * w, w
         extra = 0
+    if prologue and not resample:
+        # the GN/SiLU prologue's f32 pre/sigmoid temporaries on the window
+        # (anchors: 512^2 ci256 skip est 14.6M OOM'd at 17.88M; 128x144
+        # ci768 est 15.4M OOM'd at 18.95M — both close once th*w*cin f32
+        # is added; the 'up' variant's own extra term already covers it)
+        extra += th * w * cin * 4
     stack = (th + 2) * (w + 2) * cin * z + th * w * tco * 4 + extra
     pipe = 2 * (src_px * cin * z + 2 * hrow_px * cin * z
                 + 9 * cin * tco * z + th * w * tco * z)
@@ -104,7 +112,8 @@ def _fwd_vmem_estimate(th, w, cin, tco, z, resample="", has_skip=False) -> float
 _FWD_VMEM_LIMIT = 17.0 * 1024 * 1024  # est-space cap (~16M actual, see above)
 
 
-def _plan_fwd(h, w, cin, cout_padded, z, resample="", has_skip=False):
+def _plan_fwd(h, w, cin, cout_padded, z, resample="", has_skip=False,
+              prologue=True):
     """(tco, cout_p, th) for the forward kernel, shrinking the Cout tile
     until the program fits scoped VMEM; None if nothing fits (callers fall
     back to XLA via the availability gates)."""
@@ -116,7 +125,16 @@ def _plan_fwd(h, w, cin, cout_padded, z, resample="", has_skip=False):
         if cout_p % c or (c % 128 and c != cout_p):
             continue
         th = _pick_th(h, w, cin, c, resample, z)
-        if _fwd_vmem_estimate(th, w, cin, c, z, resample, has_skip) <= _FWD_VMEM_LIMIT:
+        # prologue plans with th=16 and fat act temporaries blow past the
+        # estimate (measured: 64x72 ci768 th16 est 13.6M, actual 17.07M;
+        # 16^2 ci1024 th16 at 1.05M of temps runs fine) — cap th at 8 when
+        # the f32 act temps would exceed ~3M
+        if prologue and not resample and th > 8 and th * w * cin * 4 >= 3 * 1024 * 1024:
+            th = 8
+        if h % th:
+            continue
+        if _fwd_vmem_estimate(th, w, cin, c, z, resample, has_skip,
+                              prologue) <= _FWD_VMEM_LIMIT:
             return c, cout_p, th
     return None
 
@@ -292,7 +310,8 @@ def _conv3x3_pallas(x, w, bias, A=None, B=None, skip=None, etop=None, ebot=None,
         cin += cin_pad
     itemsize = jnp.dtype(x.dtype).itemsize
     picked = _plan_fwd(h, w_dim, cin, cout + cout_pad, itemsize,
-                       resample=resample, has_skip=skip is not None)
+                       resample=resample, has_skip=skip is not None,
+                       prologue=prologue)
     if picked is None:
         # No single-pass plan fits scoped VMEM (weights too fat for a
         # [3,3,Cin,128] block — the ci-2048 decoder-bottleneck convs — or
