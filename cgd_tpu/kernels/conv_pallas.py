@@ -111,6 +111,16 @@ def _fwd_vmem_estimate(th, w, cin, tco, z, resample="", has_skip=False,
 
 _FWD_VMEM_LIMIT = 17.0 * 1024 * 1024  # est-space cap (~16M actual, see above)
 
+# Plans proven on-device that the (necessarily conservative) estimate now
+# rejects — the estimate's residual error is not monotone across shapes, so
+# these measured facts beat the model. Keyed (th, w, cin, tco, z, resample,
+# has_skip): the 256^2 ci512 GN-prologue conv ran at tco=256 through full
+# 250-step benches (10.086 s/image run, 2026-08-17) before the prologue
+# act-temp term demoted it.
+_MEASURED_SAFE = {
+    (8, 256, 512, 256, 2, "", False),
+}
+
 
 def _plan_fwd(h, w, cin, cout_padded, z, resample="", has_skip=False,
               prologue=True):
@@ -133,6 +143,8 @@ def _plan_fwd(h, w, cin, cout_padded, z, resample="", has_skip=False,
             th = 8
         if h % th:
             continue
+        if (th, w, cin, c, z, resample, has_skip) in _MEASURED_SAFE:
+            return c, cout_p, th
         if _fwd_vmem_estimate(th, w, cin, c, z, resample, has_skip,
                               prologue) <= _FWD_VMEM_LIMIT:
             return c, cout_p, th
