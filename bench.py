@@ -52,6 +52,9 @@ def main():
     log(f"devices: {jax.devices()}")
     clip_params, clip_cfg = resolve_clip(args.clip, mode="random")
     unet_params, unet_cfg, flags = resolve_unet(args.size, True, mode="random")
+    from cgd_tpu.ops.nn import cast_conv_params
+    clip_params = cast_conv_params(clip_params, jnp.bfloat16)
+    unet_params = cast_conv_params(unet_params, jnp.bfloat16)
     diffusion = make_diffusion(
         1000, flags.get("noise_schedule", "linear"), args.respace,
         rescale_timesteps=flags.get("rescale_timesteps", False),

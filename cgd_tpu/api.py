@@ -234,6 +234,13 @@ def clip_guided_diffusion(
             "dropout": dropout,
         },
     )
+    if compute_dtype == "bfloat16":
+        # pre-cast conv kernels host-side: removes ~1.5 ms/step of weight
+        # convert+copy pairs inside the scanned graph (ops/nn.py docstring)
+        from cgd_tpu.ops.nn import cast_conv_params
+
+        unet_params = cast_conv_params(unet_params, jnp.bfloat16)
+        clip_params = cast_conv_params(clip_params, jnp.bfloat16)
 
     if weights_mode == "random":
         tokenizer = _FallbackTokenizer(clip_cfg.text.vocab_size)

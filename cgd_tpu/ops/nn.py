@@ -55,6 +55,34 @@ def silu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.silu(x)
 
 
+def cast_conv_params(params, compute_dtype):
+    """Pre-cast 4-D conv kernels (+ their biases) to the compute dtype.
+
+    The per-op ``kernel.astype(x.dtype)`` inside the scanned step becomes a
+    no-op, removing the per-step f32->bf16 weight converts + the HBM copy
+    pairs XLA schedules to satisfy the Pallas calls' layout constraints
+    (r2c-final profile: ~1.5 ms/step of [3,3,1024,1024]-class copy-dones).
+    Bit-identical results — the same cast, applied once host-side. Norm
+    params and the f32-input dense layers (time/label embedding chain) are
+    left untouched; do NOT apply to the LPIPS VGG tree (those convs run in
+    f32 by design).
+    """
+    if jnp.dtype(compute_dtype) == jnp.float32:
+        return params
+
+    def walk(node):
+        if isinstance(node, dict):
+            k = node.get("kernel")
+            if k is not None and getattr(k, "ndim", 0) == 4:
+                return {key: v.astype(compute_dtype) for key, v in node.items()}
+            return {key: walk(v) for key, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
+
+
 # ---------------------------------------------------------------------------
 # parameter initializers
 # ---------------------------------------------------------------------------

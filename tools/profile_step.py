@@ -33,6 +33,9 @@ def build_step(size, cutn, clip_name="ViT-B/32"):
 
     clip_params, clip_cfg = resolve_clip(clip_name, mode="random")
     unet_params, unet_cfg, flags = resolve_unet(size, True, mode="random")
+    from cgd_tpu.ops.nn import cast_conv_params
+    clip_params = cast_conv_params(clip_params, jnp.bfloat16)
+    unet_params = cast_conv_params(unet_params, jnp.bfloat16)
     diffusion = make_diffusion(1000, flags.get("noise_schedule", "linear"), "ddim250")
 
     target = np.random.RandomState(2).randn(1, clip_cfg.embed_dim).astype(np.float32)
