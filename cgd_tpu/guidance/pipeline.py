@@ -97,6 +97,24 @@ def make_guidance_builder(
             side_y, side_x = x.shape[1], x.shape[2]
             fac = jnp.asarray(sqrt_om)[ref_t]
             x_in = out.pred_xstart * fac + x * (1.0 - fac)
+            if mesh is not None:
+                # Mediate the spatial->cutout sharding handoff. The UNet
+                # output may arrive height-sharded (parallel/mesh.py
+                # spatial_sharding) while the cutout einsums below partition
+                # over the cutout axis; left to its own devices XLA's last
+                # resort is an involuntary full rematerialization at the
+                # einsum transpose (measured: MULTICHIP_r02 tail warning).
+                # Replicating x_in here lowers to ONE all-gather of a single
+                # image batch over ICI, and its transpose is the
+                # reduce-scatter/psum of the guidance gradient back to the
+                # height shards — the BASELINE north-star collective.
+                # Asserted rematerialization-free by tests/test_parallel.py
+                # and __graft_entry__.dryrun_multichip.
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                x_in = jax.lax.with_sharding_constraint(
+                    x_in, NamedSharding(mesh, PartitionSpec())
+                )
 
             r_coords, r_augs = jax.random.split(rng)
             if cached_coords is not None:
@@ -121,7 +139,13 @@ def make_guidance_builder(
             embeds = encode_image(params["clip"], clip_cfg, cuts, compute_dtype=compute_dtype)
             embeds = embeds.reshape(cutn, b, -1)
 
-            # [K,B,P] distances; weighted sum over prompts, mean over cutouts
+            # [K,B,P] distances; weighted sum over prompts, mean over cutouts.
+            # Intentionally NOT behind strict_parity (the one quirk exempt
+            # from the replicate-by-default rule): the reference's
+            # dists.view([cutn, n, -1]) (cgd/cgd.py:195-200) silently
+            # mis-broadcasts when #prompts != batch_size with B > 1 —
+            # there is no working reference behavior to replicate, only an
+            # error/garbage mode. Pinned by tests/test_guidance.py:181.
             dists = spherical_dist_loss(
                 embeds[:, :, None, :], target_embeds[None, None, :, :]
             )
