@@ -30,7 +30,12 @@ def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    np.savez(path, **_flatten(tree))
+    # write through an open handle: np.savez(str_path) silently appends
+    # ".npz" when the name doesn't end with it, which de-synced the write
+    # path from the cache-hit check (found by tests/test_checkpoint_formats
+    # — the convert-once cache never hit before this fix)
+    with open(path, "wb") as f:
+        np.savez(f, **_flatten(tree))
 
 
 def load_pytree_like(path: str, template: Any) -> Any:
