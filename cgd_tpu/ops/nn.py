@@ -14,12 +14,36 @@ Conventions (deliberately different from the torch reference â€” see SURVEY.md Â
 
 from __future__ import annotations
 
+import contextlib
 import math
 import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+
+_conv_routing_override = None  # see conv_routing(); beats the env flags
+
+
+@contextlib.contextmanager
+def conv_routing(mode):
+    """Force conv routing for the dynamic extent: '' (XLA), 'plain', 'spmd',
+    or None (no override â€” env flags / platform defaults apply).
+
+    Process-local and restored on exit â€” replaces the round-2 env-var
+    mutation in api.py's mesh branch, which leaked the routing decision into
+    every later run in the same process (ADVICE r2 medium). Shape
+    availability gates still apply under an override; only the *policy*
+    (XLA vs plain kernel vs SPMD-wrapped kernel) is pinned.
+    """
+    global _conv_routing_override
+    prev = _conv_routing_override
+    _conv_routing_override = mode
+    try:
+        yield
+    finally:
+        _conv_routing_override = prev
 
 
 def _pallas_conv_mode(x_shape, kernel_shape, stride, padding, itemsize=2) -> str:
@@ -37,13 +61,19 @@ def _pallas_conv_mode(x_shape, kernel_shape, stride, padding, itemsize=2) -> str
     live in the client process, which the axon remote-compile path cannot
     call back into, hence not the single-chip default.
     """
+    from cgd_tpu.kernels.conv_pallas import conv3x3_available
+
+    if _conv_routing_override is not None:
+        if _conv_routing_override == "":
+            return ""
+        if not conv3x3_available(x_shape, kernel_shape, stride, padding, itemsize):
+            return ""
+        return _conv_routing_override
     flag = os.environ.get("CGD_TPU_PALLAS_CONV")
     if flag == "0":
         return ""
     if flag != "1" and jax.default_backend() == "cpu":
         return ""
-    from cgd_tpu.kernels.conv_pallas import conv3x3_available
-
     if not conv3x3_available(x_shape, kernel_shape, stride, padding, itemsize):
         return ""
     return "spmd" if os.environ.get("CGD_TPU_PALLAS_CONV_SPMD") == "1" else "plain"

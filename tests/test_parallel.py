@@ -217,3 +217,45 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(2)
+
+
+class TestConvSpmdDegraded:
+    def test_importable_without_private_sharding_rule(self, monkeypatch):
+        """A JAX bump that removes the private str_to_sdy_sharding_rule path
+        must degrade conv_spmd to plain XLA compositions — importable,
+        correct, differentiable — instead of ImportError (VERDICT r2)."""
+        import builtins
+        import importlib
+
+        import cgd_tpu.kernels.conv_spmd as cs
+
+        real_import = builtins.__import__
+
+        def no_private(name, *args, **kwargs):
+            if name == "jax._src.custom_partitioning_sharding_rule":
+                raise ImportError(name)
+            return real_import(name, *args, **kwargs)
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 4)) * 0.1
+        b = jnp.zeros((4,))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        try:
+            with monkeypatch.context() as m:
+                m.setattr(builtins, "__import__", no_private)
+                mod = importlib.reload(cs)
+                assert mod._RULES is None
+                out = jax.jit(mod.conv3x3)(x, w, b)
+                np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+                g = jax.grad(lambda x_: jnp.sum(mod.conv3x3(x_, w, b) ** 2))(x)
+                assert np.isfinite(np.asarray(g)).all()
+                A = jnp.ones((1, 4), jnp.float32)
+                B = jnp.zeros((1, 4), jnp.float32)
+                fused = mod.conv3x3_gn_silu_add(x, A, B, w, b, jnp.zeros_like(ref))
+                assert fused.shape == ref.shape
+        finally:
+            importlib.reload(cs)
+        assert cs._RULES is not None  # real environment restored
