@@ -217,6 +217,7 @@ def sample_loop(
     init_noise=None,  # [*shape]: recorded starting noise
     final_frame_parity: bool = False,
     loss_sink: Optional[Callable[[int, dict], None]] = None,
+    image_sink: Optional[Callable[[int, "np.ndarray", "np.ndarray"], None]] = None,
 ) -> Iterator[Tuple[int, jnp.ndarray]]:
     """Run the full guided sampling schedule, yielding (consumed_step_index,
     pred_xstart, x_t) at the reference's save points: every ``save_frequency``
@@ -232,16 +233,22 @@ def sample_loop(
 
     Steps between save points with identical static metadata run inside a
     single lax.scan; a new (guided, cutn) phase or a save point starts a new
-    segment. Compiled segment count is bounded by the number of distinct
-    static phases (≤3) times... no: segments are compiled per (length, meta)
-    signature and cached by jit, so e.g. save_frequency=1 compiles one
-    1-step scan per distinct meta, reused across all steps.
+    segment. Segments are compiled per (length, meta) signature and cached
+    by jit, so e.g. save_frequency=1 compiles one 1-step scan per distinct
+    meta and reuses it across all steps.
 
     ``loss_sink(seg_start, logs)``: loss observability without host
     callbacks (some tunneled PJRT backends reject them — CLAUDE.md trap #4):
     guided steps stack their loss scalars as scan outputs, and the sink is
     called after each segment with {name: np.ndarray[seg_len]} fetched at
     the segment boundary (reference logs per step: cgd/cgd.py:234-238).
+
+    ``image_sink(seg_start, noisy, preds)``: per-guided-step image
+    observability the same way — the reference logs its wandb triptych
+    (noisy sample / denoised prediction / blend) EVERY guided step
+    (cgd/cgd.py:180-186). Guided segments stack each step's incoming x_t
+    and pred_xstart as scan outputs ([seg_len, *shape] each), fetched once
+    per segment — per-step cadence with zero extra device->host syncs.
     """
     plan = build_step_plan(
         diffusion.num_timesteps, skip_timesteps, reduce_clip, progressive_cutout, num_cutouts
@@ -295,10 +302,13 @@ def sample_loop(
                 diffusion, model_fn, guidance, cfg, with_log=loss_sink is not None
             )
 
+            emit_images = image_sink is not None and seg[0].guided
+
             def scan_fn(params):
                 def body(carry, per_step):
                     x, y, rng, _last = carry
                     t, ref_t, nz_k = per_step
+                    x_noisy = x  # the step's incoming sample (wandb triptych)
                     rng, r = jax.random.split(rng)
                     res = step(
                         params, x, t, ref_t, y, r,
@@ -310,18 +320,22 @@ def sample_loop(
                         (x, pred_x0, y), log = res, {}
                     # carry only the latest pred_x0 — stacking per-step ys
                     # would write every step's x0 to HBM just to keep one
-                    # (log scalars are tiny: stacked as scan outputs)
-                    return (x, y, rng, pred_x0), log
+                    # (log scalars are tiny: stacked as scan outputs; image
+                    # taps are stacked only when an image_sink asks for them)
+                    ys = {"log": log}
+                    if emit_images:
+                        ys["imgs"] = (x_noisy, pred_x0)
+                    return (x, y, rng, pred_x0), ys
 
                 return body
 
             @jax.jit
             def seg_fn(params, x, y, rng, ts, ref_ts, nz):
                 init = (x, y, rng, jnp.zeros_like(x))
-                (x, y, rng, last_pred), logs = jax.lax.scan(
+                (x, y, rng, last_pred), ys = jax.lax.scan(
                     scan_fn(params), init, (ts, ref_ts, nz)
                 )
-                return x, y, rng, last_pred, logs
+                return x, y, rng, last_pred, ys
 
             scan_cache[meta_key] = seg_fn
         return scan_cache[meta_key](params, x, y, rng, ts, ref_ts, nz)
@@ -350,13 +364,17 @@ def sample_loop(
     for (k, seg), r in zip(segments, seg_keys):
         # y must be a concrete array for scan carry; use dummy when uncond
         y_in = y if y is not None else jnp.zeros((shape[0],), jnp.int32)
-        x, y_out, _, pred_x0, logs = run_segment(params, x, y_in, r, seg, k)
+        x, y_out, _, pred_x0, ys = run_segment(params, x, y_in, r, seg, k)
+        logs = ys.get("log", {})
         if y is not None:
             y = y_out
         if loss_sink is not None and seg[0].guided and logs:
             # one device->host fetch per segment (the whole point: loss
             # observability without per-step host callbacks)
             loss_sink(k, {name: np.asarray(v) for name, v in logs.items()})
+        if image_sink is not None and seg[0].guided:
+            noisy, preds = ys["imgs"]
+            image_sink(k, np.asarray(noisy), np.asarray(preds))
         last_k = k + len(seg) - 1
         if last_k in save_at:
             yield last_k, pred_x0, x

