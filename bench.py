@@ -50,6 +50,13 @@ def main():
     from cgd_tpu.weights import resolve_clip, resolve_unet
 
     log(f"devices: {jax.devices()}")
+    if jax.default_backend() != "cpu":
+        # re-validate the measured-fact conv-plan allowlist on this exact
+        # kernel/backend before timing (fails loudly if stale — VERDICT r2)
+        from cgd_tpu.kernels.conv_pallas import validate_measured_safe
+
+        log("validating _MEASURED_SAFE conv plans on-device...")
+        validate_measured_safe()
     clip_params, clip_cfg = resolve_clip(args.clip, mode="random")
     unet_params, unet_cfg, flags = resolve_unet(args.size, True, mode="random")
     from cgd_tpu.ops.nn import cast_conv_params
