@@ -12,13 +12,19 @@ from typing import List, Tuple
 
 
 def parse_prompt(prompt: str) -> Tuple[str, float]:
-    if prompt.startswith("http://") or prompt.startswith("https://"):
-        vals = prompt.rsplit(":", 2)
-        vals = [vals[0] + ":" + vals[1], *vals[2:]]
-    else:
-        vals = prompt.rsplit(":", 1)
-    vals = vals + ["", "1"][len(vals):]
-    return vals[0], float(vals[1])
+    """Split ``"text:weight"`` into (text, weight); weight defaults to 1.
+
+    An http(s) prompt keeps the colon after its scheme: the scheme is peeled
+    off first, so only a colon in the *remainder* separates a weight (e.g.
+    ``"http://x/a.png:0.5"`` -> ("http://x/a.png", 0.5) but a bare URL stays
+    whole). A non-numeric weight raises ValueError, as in the reference.
+    """
+    if prompt.startswith(("http://", "https://")):
+        scheme, rest = prompt.split(":", 1)
+        body, sep, tail = rest.rpartition(":")
+        return (f"{scheme}:{body}", float(tail)) if sep else (prompt, 1.0)
+    body, sep, tail = prompt.rpartition(":")
+    return (body, float(tail)) if sep else (prompt, 1.0)
 
 
 def split_prompts(prompts_arg: str) -> List[str]:

@@ -29,7 +29,14 @@ def main():
     ap.add_argument("--weights-mode", default="auto", choices=["auto", "random"])
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    if os.environ.get("CGD_TPU_FORCE_CPU"):
+        # JAX_PLATFORMS in the env is ignored when sitecustomize registers
+        # the axon plugin at interpreter start (CLAUDE.md); this wins.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
