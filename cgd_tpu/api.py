@@ -98,6 +98,19 @@ def _encode_image_prompt(
     h, w = arr.shape[:2]
     spec = sample_cutout_coords(rng, num_cutouts, w, h, clip_cfg.input_resolution)
 
+    embeds = np.asarray(
+        _image_prompt_encoder(clip_cfg, strict_parity)(clip_params, jnp.asarray(arr), spec)
+    )
+    batch_weights = [weight / num_cutouts] * num_cutouts
+    return embeds, batch_weights
+
+
+@functools.lru_cache(maxsize=8)
+def _image_prompt_encoder(clip_cfg, strict_parity: bool):
+    """One jitted image-prompt encoder per (config, parity mode), reused
+    across prompts and calls — same retrace hazard as the text tower
+    (prompts of distinct pixel sizes still compile per shape, as jit must)."""
+
     def encode(p, img, sp):
         cuts = make_cutouts(img[None], sp, clip_cfg.input_resolution)
         if strict_parity:
@@ -108,9 +121,7 @@ def _encode_image_prompt(
             cuts = (cuts - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
         return clip_encode_image(p, clip_cfg, cuts)
 
-    embeds = np.asarray(jax.jit(encode)(clip_params, jnp.asarray(arr), spec))
-    batch_weights = [weight / num_cutouts] * num_cutouts
-    return embeds, batch_weights
+    return jax.jit(encode)
 
 
 @functools.lru_cache(maxsize=1)

@@ -205,13 +205,14 @@ def _dx_vmem_estimate(th, w, cin, tco, itemsize=2) -> int:
 
 
 def _dx_wtiled_vmem_estimate(th, tw, cin, tco, itemsize=2) -> int:
-    """Scoped-VMEM estimate for _conv_dx_kernel_wtiled: the Element halo
-    window is streamed directly (no in-kernel row/column assembly), so the
-    stack holds only the f32 epilogue temporaries + the dx block."""
+    """Scoped-VMEM estimate for _conv_dx_kernel_wtiled: the in-kernel
+    assembled (th+2, tw+2) halo copy + f32 epilogue temporaries on the
+    stack, plus the nine double-buffered halo streams (main, 2 rows,
+    2 8-column sides, 4 corners)."""
     z = itemsize
-    stack = 3 * th * tw * tco * 4 + th * tw * tco * z
-    pipe = 2 * ((th + 2) * (tw + 2) * cin * z + 9 * cin * tco * z
-                + 2 * th * tw * tco * z + 8 * tco * 4)
+    stack = (th + 2) * (tw + 2) * cin * z + 3 * th * tw * tco * 4 + th * tw * tco * z
+    pipe = 2 * ((th * tw + 2 * tw + 16 * th + 32) * cin * z
+                + 9 * cin * tco * z + 2 * th * tw * tco * z + 8 * tco * 4)
     return stack + pipe
 
 
@@ -595,15 +596,53 @@ def _conv_dx_kernel(g_ref, top_ref, bot_ref, w_ref, x_ref, a_ref, b2_ref,
     )[None]
 
 
-def _conv_dx_kernel_wtiled(g_ref, w_ref, x_ref, a_ref, b2_ref, dx_ref, ab_ref,
-                           *, th, tw, cin):
+def _conv_dx_kernel_wtiled(g_ref, top_ref, bot_ref, left_ref, right_ref,
+                           tl_ref, tr_ref, bl_ref, br_ref, w_ref, x_ref,
+                           a_ref, b2_ref, dx_ref, ab_ref,
+                           *, th, tw, cin, nbh, nbw):
     """W-tiled variant of _conv_dx_kernel: the (th+2, tw+2, cin) halo window
-    of the host-padded cotangent streams in directly as a pl.Element block
-    (same pattern the round-2 fwd kernel v1 proved on the axon Mosaic
-    compiler), so no in-kernel row/column assembly is needed and the VMEM
-    footprint scales with TW instead of full W."""
+    is assembled in VMEM from nine clamped Blocked streams — main block,
+    single-row top/bottom, 8-column left/right (only the boundary column is
+    used), and the four 1x8 corners. Mosaic's block-shape rule forbids a
+    tw+2-wide Element window (second-minor dim must divide by 8 or equal the
+    array dim — measured on the axon compiler 2026-08-17), so this
+    generalizes the row-halo clamping the v2 forward kernel proved instead.
+    Clamped duplicates are zeroed, which is exactly the pad-1 boundary."""
+    i = pl.program_id(2)
+    ih = i // nbw
+    iw = i % nbw
+    dt = g_ref.dtype
+
+    def mask(cond):
+        # scalar bf16*bf16 does not legalize in Mosaic — derive each mask
+        # from one boolean expression and multiply tensor*scalar only
+        return jnp.where(cond, 0, 1).astype(dt)
+
+    at_t, at_b = ih == 0, ih == nbh - 1
+    at_l, at_r = iw == 0, iw == nbw - 1
+    row_top = jnp.concatenate(
+        [
+            tl_ref[:, -1:, :] * mask(at_t | at_l),
+            top_ref[:] * mask(at_t),
+            tr_ref[:, :1, :] * mask(at_t | at_r),
+        ],
+        axis=1,
+    )
+    row_mid = jnp.concatenate(
+        [left_ref[:, -1:, :] * mask(at_l), g_ref[:], right_ref[:, :1, :] * mask(at_r)],
+        axis=1,
+    )
+    row_bot = jnp.concatenate(
+        [
+            bl_ref[:, -1:, :] * mask(at_b | at_l),
+            bot_ref[:] * mask(at_b),
+            br_ref[:, :1, :] * mask(at_b | at_r),
+        ],
+        axis=1,
+    )
+    gw = jnp.concatenate([row_top, row_mid, row_bot], axis=0)  # (th+2, tw+2, cin)
+
     tco = dx_ref.shape[-1]
-    gw = g_ref[:]  # (th+2, tw+2, cin) halo window (batch dim is None-mapped)
     acc = jnp.zeros((th * tw, tco), jnp.float32)
     for dy in range(3):
         for dx in range(3):
@@ -627,15 +666,29 @@ def _conv_dx_kernel_wtiled(g_ref, w_ref, x_ref, a_ref, b2_ref, dx_ref, ab_ref,
 
 
 def _conv3x3_dx_wtiled(g, wt, x, A, B, tco, cout_p, tw, itemsize):
-    """Launch the W-tiled fused backward: host-pad g by the full 1-pixel
-    halo, stream overlapping (th+2, tw+2) Element windows."""
+    """Launch the W-tiled fused backward (no host pads — all halos are
+    clamped Blocked windows assembled in kernel)."""
     b, h, w_dim, cin = g.shape
     th = 8
     nbh, nbw = h // th, w_dim // tw
-    gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wblk = tw // 8  # left/right halos stream in 8-column blocks
 
-    kern = functools.partial(_conv_dx_kernel_wtiled, th=th, tw=tw, cin=cin)
-    E = pl.Element
+    kern = functools.partial(
+        _conv_dx_kernel_wtiled, th=th, tw=tw, cin=cin, nbh=nbh, nbw=nbw
+    )
+
+    def _rowcol(rows, r_map, c_map):
+        return pl.BlockSpec(
+            (None, rows, 8, cin),
+            lambda nb, j, i: (nb, r_map(i), c_map(i), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    r_main = lambda i: i // nbw
+    r_top = lambda i: jnp.maximum((i // nbw) * th - 1, 0)
+    r_bot = lambda i: jnp.minimum((i // nbw) * th + th, h - 1)
+    c_left = lambda i: jnp.maximum((i % nbw) * wblk - 1, 0)
+    c_right = lambda i: jnp.minimum((i % nbw + 1) * wblk, w_dim // 8 - 1)
     vec = pl.BlockSpec(
         (None, 1, 1, tco), lambda nb, j, i: (nb, 0, 0, j), memory_space=pltpu.VMEM
     )
@@ -644,10 +697,28 @@ def _conv3x3_dx_wtiled(g, wt, x, A, B, tco, cout_p, tw, itemsize):
         grid=(b, cout_p // tco, nbh * nbw),
         in_specs=[
             pl.BlockSpec(
-                (None, E(th + 2), E(tw + 2), E(cin)),
-                lambda nb, j, i: (nb, (i // nbw) * th, (i % nbw) * tw, 0),
+                (None, th, tw, cin),
+                lambda nb, j, i: (nb, i // nbw, i % nbw, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (None, 1, tw, cin),
+                lambda nb, j, i: (nb, jnp.maximum((i // nbw) * th - 1, 0), i % nbw, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 1, tw, cin),
+                lambda nb, j, i: (
+                    nb, jnp.minimum((i // nbw) * th + th, h - 1), i % nbw, 0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            _rowcol(th, r_main, c_left),   # left (uses last column)
+            _rowcol(th, r_main, c_right),  # right (uses first column)
+            _rowcol(1, r_top, c_left),     # top-left corner
+            _rowcol(1, r_top, c_right),    # top-right corner
+            _rowcol(1, r_bot, c_left),     # bottom-left corner
+            _rowcol(1, r_bot, c_right),    # bottom-right corner
             pl.BlockSpec(
                 (3, 3, cin, tco), lambda nb, j, i: (0, 0, 0, j),
                 memory_space=pltpu.VMEM,
@@ -685,7 +756,7 @@ def _conv3x3_dx_wtiled(g, wt, x, A, B, tco, cout_p, tw, itemsize):
             transcendentals=b * h * w_dim * cout_p,
         ),
     )(
-        gp, wt,
+        g, g, g, g, g, g, g, g, g, wt,
         x.astype(g.dtype),
         A.astype(jnp.float32)[:, None, None, :],
         B.astype(jnp.float32)[:, None, None, :],
