@@ -137,6 +137,56 @@ class TestAPI:
         assert (w, h) == (64, 80)
 
 
+    @pytest.mark.slow
+    def test_wandb_triptych_logs_every_guided_step(self, tmp_path, monkeypatch):
+        """The wandb triptych must log once per GUIDED STEP (reference
+        cadence, cgd/cgd.py:180-186), not once per save point — driven
+        through the public API with a stubbed wandb module."""
+        import sys
+        import types
+
+        logged = []
+
+        class FakeRun:
+            def log(self, d, **kw):
+                logged.append(d)
+
+            def finish(self):
+                pass
+
+        class FakeImage:
+            def __init__(self, img, caption=""):
+                self.caption = caption
+
+        fake = types.ModuleType("wandb")
+        fake.init = lambda **kw: FakeRun()
+        fake.Image = FakeImage
+        monkeypatch.setitem(sys.modules, "wandb", fake)
+
+        from cgd_tpu.api import clip_guided_diffusion
+
+        list(clip_guided_diffusion(
+            prompts=["w"],
+            image_size=64,
+            timestep_respacing="ddim10",
+            num_cutouts=2,
+            save_frequency=4,
+            weights_mode="random",
+            prefix_path=tmp_path / "out",
+            progress=False,
+            wandb_project="fake-proj",
+            seed=1,
+        ))
+        trip = [d for d in logged if any("Generations" in k for k in d)]
+        assert len(trip) == 10  # one triptych per guided step, ddim10
+        steps = [d["step"] for d in trip]
+        assert steps == sorted(steps) and steps[0] == 0 and steps[-1] == 9
+        imgs = next(v for k, v in trip[0].items() if "Generations" in k)
+        assert [im.caption for im in imgs] == [
+            "Noisy Sample", "Denoised Prediction", "Blended (what CLIP sees)",
+        ]
+
+
 class TestCLI:
     @pytest.mark.slow
     def test_full_flag_surface_smoke(self, tmp_path):
