@@ -259,3 +259,64 @@ class TestConvSpmdDegraded:
         finally:
             importlib.reload(cs)
         assert cs._RULES is not None  # real environment restored
+
+
+class TestNoInvoluntaryRemat:
+    def test_spatial_to_cutout_handoff_has_no_remat_warning(self, mesh8):
+        """The spatial->cutout sharding transition in the REAL guidance
+        pipeline must not trigger XLA's involuntary full rematerialization
+        (the round-2 multichip defect; fixed by the x_in replication in
+        guidance/pipeline.py). XLA logs the warning to fd-level stderr, so
+        capture it around the compile."""
+        import os
+        import sys
+        import tempfile
+
+        import numpy as np
+
+        from cgd_tpu.diffusion import make_diffusion
+        from cgd_tpu.diffusion.gaussian import PMeanVariance
+        from cgd_tpu.diffusion.sampler import StepMeta
+        from cgd_tpu.guidance.pipeline import GuidanceSettings, make_guidance_builder
+        from cgd_tpu.models.clip import init_clip
+        from cgd_tpu.models.clip.configs import CLIPConfig, TextConfig, VisionViTConfig
+        from cgd_tpu.parallel.mesh import spatial_sharding
+
+        clip_cfg = CLIPConfig(
+            "remat-test", 32, VisionViTConfig(32, 8, 64, 2, 2),
+            TextConfig(context_length=16, vocab_size=64, width=64, heads=2, layers=2),
+        )
+        diffusion = make_diffusion(100, "linear", "10")
+        target = np.random.RandomState(0).randn(1, 32).astype(np.float32)
+        builder = make_guidance_builder(
+            clip_cfg, target, np.ones((1,), np.float32), diffusion,
+            GuidanceSettings(), mesh=mesh8,
+        )
+        fns = builder(StepMeta(t=5, guided=True, cutn=8))
+        params = {"clip": init_clip(jax.random.PRNGKey(0), clip_cfg)}
+
+        def loss_of_x(x):
+            # UNet stand-in: height-sharded activation feeding the guidance
+            x = jax.lax.with_sharding_constraint(x, spatial_sharding(mesh8))
+            pred = x * 0.5
+            out = PMeanVariance(pred, pred, pred, pred, pred)
+            loss, _log = fns.loss_fn(params, jax.random.PRNGKey(1), x, out, jnp.int32(9))
+            return loss
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+        fn = jax.jit(jax.grad(loss_of_x))
+        sys.stderr.flush()
+        cap = tempfile.TemporaryFile()
+        saved = os.dup(2)
+        os.dup2(cap.fileno(), 2)
+        try:
+            g = fn(x)
+            g.block_until_ready()
+        finally:
+            os.dup2(saved, 2)
+            os.close(saved)
+        cap.seek(0)
+        log = cap.read().decode(errors="replace")
+        cap.close()
+        assert "Involuntary full rematerialization" not in log, log[-2000:]
+        assert np.isfinite(np.asarray(g)).all()
