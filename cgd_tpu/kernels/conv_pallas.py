@@ -29,6 +29,7 @@ DCE'd in the sampling path, which differentiates w.r.t. the image only).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -237,6 +238,15 @@ def _pick_dx_tiles(h, w, cin, cout, itemsize=2):
         th = _pick_th(h, w, cin, c, itemsize=itemsize)
         if _dx_vmem_estimate(th, w, cin, c, itemsize) <= 12 * 1024 * 1024:
             return c, cout_p, None
+    if os.environ.get("CGD_TPU_DX_WTILED") != "1":
+        # Default OFF (opt-in): an on-device A/B at 512px ddim50 (2026-08-17)
+        # measured identical steady-state with and without the W-tiled dx
+        # kernel (4.357 vs 4.350 s / 50 guided steps — the admitted dx convs
+        # overlap the MXU pipeline either way) while the nine-stream Mosaic
+        # kernels added +554 s of remote compile (935.6 vs 381.7 s cold).
+        # The composition fallback is the better default until a shape class
+        # appears where these dx convs are critical-path.
+        return None, None, None
     for c in candidates:
         if cout_p % c or (c % 128 and c != cout_p):
             continue

@@ -248,7 +248,9 @@ class TestConv3x3Pallas:
         from cgd_tpu.ops import nn as cnn
 
         b, h, w, ci, co = 1, 8, 256, 256, 512
-        # the W-tiled plan must be the one exercised
+        # the W-tiled plan must be the one exercised (opt-in since the
+        # 512px compile-time A/B made the composition fallback the default)
+        monkeypatch.setenv("CGD_TPU_DX_WTILED", "1")
         co_p, ci_p = co, ci
         tiles = cp._pick_dx_tiles(h, w, co_p, ci_p)
         assert tiles[0] is not None and tiles[2] is not None, tiles
