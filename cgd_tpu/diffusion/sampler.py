@@ -281,10 +281,9 @@ def sample_loop(
 
     # jit cache keyed by (segment_len, guided, cutn)
     scan_cache = {}
+    has_noise = noise_override is not None
 
-    def run_segment(params, x, y, rng, seg: List[StepMeta], seg_start: int):
-        has_noise = noise_override is not None
-        meta_key = (len(seg), seg[0].guided, seg[0].cutn, has_noise)
+    def seg_inputs(seg: List[StepMeta], seg_start: int):
         ts = jnp.asarray([m.t for m in seg], dtype=jnp.int32)
         ref_ts = jnp.asarray(
             [diffusion.num_timesteps - 1 - (seg_start + i) for i in range(len(seg))],
@@ -296,48 +295,56 @@ def sample_loop(
             )
         else:
             nz = jnp.zeros((len(seg),) + (1,) * len(shape), jnp.float32)  # unused
-        if meta_key not in scan_cache:
-            guidance = guidance_builder(seg[0]) if seg[0].guided else None
-            step = make_guided_step(
-                diffusion, model_fn, guidance, cfg, with_log=loss_sink is not None
-            )
+        return ts, ref_ts, nz
 
-            emit_images = image_sink is not None and seg[0].guided
+    def build_seg_fn(meta: StepMeta):
+        guidance = guidance_builder(meta) if meta.guided else None
+        step = make_guided_step(
+            diffusion, model_fn, guidance, cfg, with_log=loss_sink is not None
+        )
 
-            def scan_fn(params):
-                def body(carry, per_step):
-                    x, y, rng, _last = carry
-                    t, ref_t, nz_k = per_step
-                    x_noisy = x  # the step's incoming sample (wandb triptych)
-                    rng, r = jax.random.split(rng)
-                    res = step(
-                        params, x, t, ref_t, y, r,
-                        noise_override=nz_k if has_noise else None,
-                    )
-                    if loss_sink is not None:
-                        x, pred_x0, y, log = res
-                    else:
-                        (x, pred_x0, y), log = res, {}
-                    # carry only the latest pred_x0 — stacking per-step ys
-                    # would write every step's x0 to HBM just to keep one
-                    # (log scalars are tiny: stacked as scan outputs; image
-                    # taps are stacked only when an image_sink asks for them)
-                    ys = {"log": log}
-                    if emit_images:
-                        ys["imgs"] = (x_noisy, pred_x0)
-                    return (x, y, rng, pred_x0), ys
+        emit_images = image_sink is not None and meta.guided
 
-                return body
-
-            @jax.jit
-            def seg_fn(params, x, y, rng, ts, ref_ts, nz):
-                init = (x, y, rng, jnp.zeros_like(x))
-                (x, y, rng, last_pred), ys = jax.lax.scan(
-                    scan_fn(params), init, (ts, ref_ts, nz)
+        def scan_fn(params):
+            def body(carry, per_step):
+                x, y, rng, _last = carry
+                t, ref_t, nz_k = per_step
+                x_noisy = x  # the step's incoming sample (wandb triptych)
+                rng, r = jax.random.split(rng)
+                res = step(
+                    params, x, t, ref_t, y, r,
+                    noise_override=nz_k if has_noise else None,
                 )
-                return x, y, rng, last_pred, ys
+                if loss_sink is not None:
+                    x, pred_x0, y, log = res
+                else:
+                    (x, pred_x0, y), log = res, {}
+                # carry only the latest pred_x0 — stacking per-step ys
+                # would write every step's x0 to HBM just to keep one
+                # (log scalars are tiny: stacked as scan outputs; image
+                # taps are stacked only when an image_sink asks for them)
+                ys = {"log": log}
+                if emit_images:
+                    ys["imgs"] = (x_noisy, pred_x0)
+                return (x, y, rng, pred_x0), ys
 
-            scan_cache[meta_key] = seg_fn
+            return body
+
+        @jax.jit
+        def seg_fn(params, x, y, rng, ts, ref_ts, nz):
+            init = (x, y, rng, jnp.zeros_like(x))
+            (x, y, rng, last_pred), ys = jax.lax.scan(
+                scan_fn(params), init, (ts, ref_ts, nz)
+            )
+            return x, y, rng, last_pred, ys
+
+        return seg_fn
+
+    def run_segment(params, x, y, rng, seg: List[StepMeta], seg_start: int):
+        meta_key = (len(seg), seg[0].guided, seg[0].cutn, has_noise)
+        ts, ref_ts, nz = seg_inputs(seg, seg_start)
+        if meta_key not in scan_cache:
+            scan_cache[meta_key] = build_seg_fn(seg[0])
         return scan_cache[meta_key](params, x, y, rng, ts, ref_ts, nz)
 
     # build the segment list up front (pure python) so per-segment RNG keys
@@ -361,6 +368,56 @@ def sample_loop(
         k = j
 
     seg_keys = jax.random.split(rng, max(len(segments), 1))
+
+    # Parallel cold-start compilation: the sampler's step plan is fully
+    # static, so every distinct segment signature — (length, guided, cutn);
+    # e.g. save_frequency=F over one guidance phase yields lengths
+    # {1, F, F-1} — is known before the first step runs. jit would compile
+    # them SERIALLY as the run first reaches each one; AOT-lower each
+    # distinct segment up front and .compile() them concurrently instead.
+    # Measured (PERF.md round 3): XLA graph compile is mostly host-CPU
+    # work even on the remote-compile axon backend, so the win needs spare
+    # host cores — on the 1-core dev box a 256px ddim250 cold A/B came out
+    # 481 s serial vs 519 s threaded (within tunnel variance, no win), so
+    # the default requires >=4 host cores. CGD_TPU_PRECOMPILE=0 disables;
+    # =1 forces (e.g. to cover the path in CPU tests).
+    import os as _os
+
+    _pc = _os.environ.get("CGD_TPU_PRECOMPILE")
+    distinct = {}
+    for (k, seg), r in zip(segments, seg_keys):
+        mk = (len(seg), seg[0].guided, seg[0].cutn, has_noise)
+        distinct.setdefault(mk, (seg, k, r))
+    precompile = _pc == "1" or (
+        _pc != "0"
+        and len(distinct) > 1
+        and jax.default_backend() != "cpu"
+        and (_os.cpu_count() or 1) >= 4
+    )
+    if precompile and len(distinct) > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        y_ex = y if y is not None else jnp.zeros((shape[0],), jnp.int32)
+        lowered = {}
+        for mk, (seg, k, r) in distinct.items():
+            seg_fn = build_seg_fn(seg[0])
+            ts, ref_ts, nz = seg_inputs(seg, k)
+            # tracing/lowering is host-GIL work — serial; .compile() is the
+            # remote call that parallelizes
+            lowered[mk] = (seg_fn, seg_fn.lower(params, x, y_ex, r, ts, ref_ts, nz))
+        with ThreadPoolExecutor(max_workers=min(4, len(lowered))) as ex:
+            compiled = {
+                mk: fut
+                for mk, fut in zip(
+                    lowered,
+                    ex.map(lambda kv: kv[1].compile(), lowered.values()),
+                )
+            }
+        # the AOT executable is directly callable with arrays matching the
+        # lowered avals (same shapes/dtypes every segment) — store it in the
+        # jit cache slot so run_segment dispatches straight to it
+        scan_cache.update(compiled)
+
     for (k, seg), r in zip(segments, seg_keys):
         # y must be a concrete array for scan carry; use dummy when uncond
         y_in = y if y is not None else jnp.zeros((shape[0],), jnp.int32)

@@ -165,6 +165,36 @@ class TestSampleLoop:
         r2 = list(sample_loop(d, model_fn, lambda m: None, {}, (1, 16, 16, 3), jax.random.PRNGKey(7), cfg, save_frequency=100))
         np.testing.assert_allclose(np.asarray(r1[-1][1]), np.asarray(r2[-1][1]))
 
+    def test_parallel_precompile_matches_serial(self, monkeypatch):
+        """CGD_TPU_PRECOMPILE=1 AOT-compiles every distinct segment
+        signature concurrently up front (cold-start parallelism on remote
+        compile backends); the AOT executables must produce bit-identical
+        trajectories to the lazily jit-compiled path. The config below
+        (ddim12, save_frequency=4, reduce_clip for a guided/unguided mix)
+        yields several distinct (length, guided) signatures."""
+        model_fn = tiny_model()
+        d = make_diffusion(steps=1000, timestep_respacing="ddim12")
+        cfg = SamplerConfig(use_ddim=True)
+
+        def builder(meta):
+            def loss_fn(p, rng, x, out, ref_t):
+                return 0.01 * jnp.sum(out.pred_xstart**2) + 0.001 * jnp.sum(x**2)
+
+            return GuidanceFns(loss_fn, lambda g: g)
+
+        kw = dict(save_frequency=4, reduce_clip=True)
+        args = (d, model_fn, builder, {}, (1, 16, 16, 3))
+
+        monkeypatch.setenv("CGD_TPU_PRECOMPILE", "0")
+        serial = list(sample_loop(*args, jax.random.PRNGKey(3), cfg, **kw))
+        monkeypatch.setenv("CGD_TPU_PRECOMPILE", "1")
+        pre = list(sample_loop(*args, jax.random.PRNGKey(3), cfg, **kw))
+
+        assert [o[0] for o in serial] == [o[0] for o in pre]
+        for (_, a, ax), (_, b, bx) in zip(serial, pre):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(np.asarray(ax), np.asarray(bx))
+
 
 class TestFastGuidance:
     """fast_guidance=True detaches the p_mean_variance output inside the
