@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import shutil
 import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -34,10 +35,14 @@ ALLOWED_KWARGS = {
     "clip_model_name", "randomize_class", "noise_schedule",
     "use_augs", "use_magnitude", "height_offset", "width_offset",
     "reduce_clip", "progressive_cutout", "cached_cutouts",
+    "compute_dtype", "strict_parity", "fast_guidance",
 }
 
 
-def _generate(payload: dict, weights_mode: str) -> str:
+def _generate(payload: dict, weights_mode: str):
+    """Run one generation; returns (final_frame_path, scratch_dir). The
+    caller owns the scratch dir and removes it once the frame is read —
+    a long-running daemon must not accumulate per-request temp trees."""
     from cgd_tpu.api import clip_guided_diffusion
 
     prompt = payload.get("prompt", "")
@@ -56,7 +61,7 @@ def _generate(payload: dict, weights_mode: str) -> str:
     )
     for _b, path in gen:
         last = path
-    return last
+    return last, out_dir
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -88,11 +93,14 @@ class Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
             with _LOCK:  # one TPU context; serialize generations
-                frame = _generate(payload, self.weights_mode)
-            if frame is None:
-                raise RuntimeError("no frame produced")
-            with open(frame, "rb") as f:
-                data = f.read()
+                frame, scratch = _generate(payload, self.weights_mode)
+            try:
+                if frame is None:
+                    raise RuntimeError("no frame produced")
+                with open(frame, "rb") as f:
+                    data = f.read()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
             self.send_header("Content-Length", str(len(data)))

@@ -219,6 +219,33 @@ class TestGraftEntry:
         g.dryrun_multichip(2)
 
 
+class TestCollectiveInventory:
+    @pytest.mark.slow
+    def test_mesh_step_lowers_to_cheap_collectives(self):
+        """The fully-sharded guided step must lower to the designed
+        collective set — ppermute halo exchanges for the height-split convs,
+        an all-gather at the spatial->cutout handoff, all-reduces for the
+        guidance gradient — with NO all-to-all and bounded bytes (an
+        involuntary full rematerialization shows up as megabytes of
+        all-gather on this tiny graph; measured healthy total is ~1.4 MiB,
+        see PERF.md 'Multi-chip collective audit')."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+        import mesh_audit
+
+        _shape, inv, _hlo = mesh_audit.audit(8, data_ax=1)
+        assert "collective-permute" in inv, inv  # conv halo exchanges
+        assert "all-gather" in inv, inv  # spatial->cutout handoff
+        assert "all-reduce" in inv, inv  # guidance-gradient psum
+        assert "all-to-all" not in inv, inv
+        ag_count, ag_bytes = inv["all-gather"]
+        assert ag_bytes < 1 << 20, inv  # full remat would blow this up
+        total = sum(b for _c, b in inv.values())
+        assert total < 4 << 20, inv
+
+
 class TestConvSpmdDegraded:
     def test_importable_without_private_sharding_rule(self, monkeypatch):
         """A JAX bump that removes the private str_to_sdy_sharding_rule path
