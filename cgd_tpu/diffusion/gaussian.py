@@ -20,7 +20,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, NamedTuple, Optional, Sequence, Union
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

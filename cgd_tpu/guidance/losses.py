@@ -8,7 +8,6 @@ fuse into the single guided-step XLA computation.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -21,7 +21,6 @@ and a human table to stdout.
 
 import argparse
 import json
-import os
 import subprocess
 import sys
 sys.path.insert(0, __file__.rsplit('/', 2)[0])

@@ -13,7 +13,6 @@ Usage:
 import argparse
 import collections
 import glob
-import re
 import sys
 
 
