@@ -131,6 +131,86 @@ class TestTorchScriptClip:
         )
 
 
+class TestLpipsCheckpointFiles:
+    """convert_lpips from on-disk torch files (the torchvision vgg16 .pth +
+    the lpips v0.1 vgg.pth linear heads) — the last converter whose
+    torch.load file branch had never seen a real file. Real VGG16 shapes so
+    the result maps onto the init_vgg_lpips template exactly."""
+
+    _CONV_IDS = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    _CHANS = [
+        (3, 64), (64, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+        (256, 256), (256, 512), (512, 512), (512, 512), (512, 512),
+        (512, 512), (512, 512),
+    ]
+
+    def _write_files(self, tmp_path):
+        rng = np.random.RandomState(0)
+        vgg_sd = {}
+        for cid, (ci, co) in zip(self._CONV_IDS, self._CHANS):
+            vgg_sd[f"features.{cid}.weight"] = torch.from_numpy(
+                (rng.randn(co, ci, 3, 3) * 0.05).astype(np.float32))
+            vgg_sd[f"features.{cid}.bias"] = torch.from_numpy(
+                (rng.randn(co) * 0.05).astype(np.float32))
+        lin_sd = {
+            f"lin{i}.model.1.weight": torch.from_numpy(
+                np.abs(rng.randn(1, c, 1, 1)).astype(np.float32))
+            for i, c in enumerate([64, 128, 256, 512, 512])
+        }
+        vgg_pt = tmp_path / "vgg16-397923af.pth"
+        lin_pt = tmp_path / "lpips_vgg_v0.1.pth"
+        torch.save(vgg_sd, vgg_pt)
+        torch.save(lin_sd, lin_pt)
+        return vgg_pt, lin_pt, vgg_sd, lin_sd
+
+    def test_convert_lpips_from_disk(self, tmp_path):
+        from cgd_tpu.convert.torch_lpips import convert_lpips
+        from cgd_tpu.models.vgg_lpips import init_vgg_lpips
+
+        vgg_pt, lin_pt, vgg_sd, lin_sd = self._write_files(tmp_path)
+        params = convert_lpips(str(vgg_pt), str(lin_pt))
+
+        template = jax.eval_shape(lambda: init_vgg_lpips(jax.random.PRNGKey(0)))
+        conv_leaves, conv_def = jax.tree_util.tree_flatten(params)
+        tmpl_leaves, tmpl_def = jax.tree_util.tree_flatten(template)
+        assert conv_def == tmpl_def
+        for c, t in zip(conv_leaves, tmpl_leaves):
+            assert tuple(np.shape(c)) == tuple(t.shape)
+        # spot-check the OIHW->HWIO transpose and the lin-head slice
+        np.testing.assert_array_equal(
+            params["convs"][0]["kernel"],
+            np.transpose(vgg_sd["features.0.weight"].numpy(), (2, 3, 1, 0)))
+        np.testing.assert_array_equal(
+            params["lins"][2]["kernel"][:, 0],
+            lin_sd["lin2.model.1.weight"].numpy()[0, :, 0, 0])
+
+    def test_resolve_lpips_full_disk_path(self, tmp_path, monkeypatch):
+        """resolve_lpips end-to-end with downloads redirected to the
+        pre-placed files: convert, npz cache write, second-resolve cache
+        hit, and a finite distance from the converted weights."""
+        import cgd_tpu.convert.torch_lpips as torch_lpips_mod
+        from cgd_tpu.models.vgg_lpips import lpips_distance
+        from cgd_tpu.weights import resolve_lpips
+
+        vgg_pt, lin_pt, _, _ = self._write_files(tmp_path)
+        monkeypatch.setattr(
+            torch_lpips_mod, "download",
+            lambda url, fname, d: str(vgg_pt if "vgg16" in fname else lin_pt))
+
+        params = resolve_lpips(checkpoints_dir=str(tmp_path))
+        assert os.path.exists(str(tmp_path / "lpips_vgg.npz.cgd"))
+        params2 = resolve_lpips(checkpoints_dir=str(tmp_path))  # cache hit
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            params, params2,
+        )
+        x = jnp.full((1, 32, 32, 3), 0.3)
+        y = jnp.full((1, 32, 32, 3), -0.2)
+        d = lpips_distance(params, x, y)
+        assert d.shape == (1,)
+        assert np.isfinite(np.asarray(d)).all() and float(d[0]) > 0.0
+
+
 class TestUNetCheckpointFile:
     def _tiny_flags(self):
         return {
