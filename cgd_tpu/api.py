@@ -45,7 +45,7 @@ from cgd_tpu.models.unet import apply_unet
 from cgd_tpu.weights import resolve_clip, resolve_lpips, resolve_unet
 
 
-_text_encoder_traces = 0  # diagnostics: how many times the tower retraced
+_text_encoder_fns = []  # every cached jitted tower, for trace accounting
 
 
 @functools.lru_cache(maxsize=8)
@@ -57,11 +57,41 @@ def _text_encoder(clip_cfg):
     on the axon backend (VERDICT r2 weak #6)."""
 
     def encode(p, t):
-        global _text_encoder_traces
-        _text_encoder_traces += 1
         return clip_encode_text(p, clip_cfg, t)
 
-    return jax.jit(encode)
+    fn = jax.jit(encode)
+    _text_encoder_fns.append(fn)
+    return fn
+
+
+def _text_encoder_traces():
+    """Total text-tower traces across all cached encoders (diagnostic: one
+    batched trace should serve N prompts). Reads the jit caches rather than
+    counting inside the traced function — no Python state in traced code."""
+    return sum(f._cache_size() for f in _text_encoder_fns)
+
+
+def _mesh_conv_route(mesh) -> str:
+    """Conv routing policy for a mesh-sharded run: '' (XLA convs) or 'spmd'.
+
+    Mesh runs default to the custom_partitioning-wrapped Pallas convs
+    (kernels/conv_spmd.py: batch partitioning + ppermute halo exchange for
+    the height-split UNet). Exceptions: the explicit env kill-switches
+    still win (CGD_TPU_PALLAS_CONV=0 disables every Pallas conv;
+    CGD_TPU_PALLAS_CONV_SPMD=0 refuses the SPMD wrappers — XLA convs
+    partition fine), and the axon remote-compile backend cannot resolve
+    client-side partition callbacks — keep XLA convs there unless the user
+    explicitly forces. The decision is scoped to the run via
+    ops.nn.conv_routing (not env mutation, which leaked into later runs in
+    the process — ADVICE r2)."""
+    pc = os.environ.get("CGD_TPU_PALLAS_CONV")
+    if pc == "0" or os.environ.get("CGD_TPU_PALLAS_CONV_SPMD") == "0":
+        return ""
+    if pc != "1" and any(
+        "axon" in d.client.platform_version for d in mesh.devices.flat
+    ):
+        return ""
+    return "spmd"
 
 
 def _encode_text_prompts(clip_params, clip_cfg, txts, tokenizer) -> np.ndarray:
@@ -387,19 +417,7 @@ def clip_guided_diffusion(
 
         unet_params = shard_params_replicated(unet_params, mesh)
         clip_params = shard_params_replicated(clip_params, mesh)
-        # Mesh-sharded runs use the custom_partitioning-wrapped Pallas convs
-        # (kernels/conv_spmd.py: batch partitioning + ppermute halo exchange
-        # for the height-split UNet). Exception: the axon remote-compile
-        # backend cannot resolve client-side partition callbacks — keep XLA
-        # convs there unless the user explicitly forces. The decision is
-        # scoped to THIS run via ops.nn.conv_routing (not env mutation,
-        # which leaked into later runs in the process — ADVICE r2).
-        if os.environ.get("CGD_TPU_PALLAS_CONV") != "1" and any(
-            "axon" in d.client.platform_version for d in mesh.devices.flat
-        ):
-            conv_route = ""
-        else:
-            conv_route = "spmd"
+        conv_route = _mesh_conv_route(mesh)
 
     use_init_loss = init_tensor is not None and init_scale != 0
 
@@ -455,9 +473,8 @@ def clip_guided_diffusion(
 
         sqrt_om_np = np.asarray(diffusion.sqrt_one_minus_alphas_cumprod)
 
-        def image_sink(seg_start, noisy, preds):
-            for i in range(noisy.shape[0]):
-                step_k = seg_start + i
+        def image_sink(step_ks, noisy, preds):
+            for i, step_k in enumerate(step_ks):
                 fac = float(sqrt_om_np[max(diffusion.num_timesteps - 1 - step_k, 0)])
                 blend = preds[i] * fac + noisy[i] * (1.0 - fac)
                 wandb_run.log({
@@ -508,26 +525,36 @@ def clip_guided_diffusion(
     rng, r_loop = jax.random.split(rng)
 
     def routed_sample_loop():
-        # the conv routing override must cover every segment compile, which
-        # happens lazily throughout the iteration — hold it for the loop's
-        # whole dynamic extent (restored when the generator closes)
-        with conv_routing(conv_route):
-            yield from sample_loop(
-                diffusion, model_fn, builder, params, shape, r_loop, sampler_cfg,
-                skip_timesteps=skip_timesteps,
-                init_image=init_tensor,
-                reduce_clip=reduce_clip,
-                progressive_cutout=progressive_cutout,
-                num_cutouts=num_cutouts,
-                save_frequency=save_frequency,
-                y_init=y_init,
-                progress_cb=(bar.update if bar is not None else None),
-                noise_override=noise_steps,
-                init_noise=init_noise,
-                final_frame_parity=strict_parity,
-                loss_sink=loss_sink,
-                image_sink=image_sink,
-            )
+        # The conv routing override must cover every segment compile, which
+        # happens lazily throughout the iteration — but it is a process
+        # global, so holding it ACROSS our own yields would let two
+        # interleaved generators corrupt each other's routing (run B's
+        # enter/exit while run A is suspended). Enter the override only
+        # around each advance of the inner loop and restore it before
+        # yielding outward.
+        inner = sample_loop(
+            diffusion, model_fn, builder, params, shape, r_loop, sampler_cfg,
+            skip_timesteps=skip_timesteps,
+            init_image=init_tensor,
+            reduce_clip=reduce_clip,
+            progressive_cutout=progressive_cutout,
+            num_cutouts=num_cutouts,
+            save_frequency=save_frequency,
+            y_init=y_init,
+            progress_cb=(bar.update if bar is not None else None),
+            noise_override=noise_steps,
+            init_noise=init_noise,
+            final_frame_parity=strict_parity,
+            loss_sink=loss_sink,
+            image_sink=image_sink,
+        )
+        while True:
+            with conv_routing(conv_route):
+                try:
+                    item = next(inner)
+                except StopIteration:
+                    return
+            yield item
 
     try:
         for step_k, pred_x0, x_t in routed_sample_loop():

@@ -23,6 +23,7 @@ Design:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Iterator, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -196,6 +197,23 @@ def make_guided_step(
     return step
 
 
+def _img_tap_plan(seg_len: int, shape, itemsize: int) -> Tuple[int, int]:
+    """(stride, n_taps) bounding the HBM the per-step wandb image taps may
+    stack per segment. Two [seg_len, *shape] buffers for a final-frame-only
+    run (save_frequency=250, one 250-step segment) at 512px f32 would be
+    ~1.5 GB that non-wandb runs never allocate — so cap the tap buffers at
+    CGD_TPU_IMG_TAP_MB (default 192 MiB: a 25-step segment at 512px f32 is
+    ~158 MiB) and decimate to one tap (the last step) per stride window
+    when a segment would exceed it. At the default save_frequency=25
+    segments the stride stays 1 up to 512px: every guided step is tapped,
+    the reference cadence (cgd/cgd.py:180-186)."""
+    budget = int(os.environ.get("CGD_TPU_IMG_TAP_MB", "192")) << 20
+    per_step = 2 * int(np.prod(shape)) * itemsize
+    stride = max(1, -(-per_step * seg_len // max(budget, per_step)))
+    n_taps = -(-seg_len // stride)
+    return stride, n_taps
+
+
 def sample_loop(
     diffusion: GaussianDiffusion,
     model_fn: ModelFn,
@@ -217,7 +235,7 @@ def sample_loop(
     init_noise=None,  # [*shape]: recorded starting noise
     final_frame_parity: bool = False,
     loss_sink: Optional[Callable[[int, dict], None]] = None,
-    image_sink: Optional[Callable[[int, "np.ndarray", "np.ndarray"], None]] = None,
+    image_sink: Optional[Callable[[list, "np.ndarray", "np.ndarray"], None]] = None,
 ) -> Iterator[Tuple[int, jnp.ndarray]]:
     """Run the full guided sampling schedule, yielding (consumed_step_index,
     pred_xstart, x_t) at the reference's save points: every ``save_frequency``
@@ -243,12 +261,17 @@ def sample_loop(
     called after each segment with {name: np.ndarray[seg_len]} fetched at
     the segment boundary (reference logs per step: cgd/cgd.py:234-238).
 
-    ``image_sink(seg_start, noisy, preds)``: per-guided-step image
+    ``image_sink(step_ks, noisy, preds)``: per-guided-step image
     observability the same way — the reference logs its wandb triptych
     (noisy sample / denoised prediction / blend) EVERY guided step
     (cgd/cgd.py:180-186). Guided segments stack each step's incoming x_t
-    and pred_xstart as scan outputs ([seg_len, *shape] each), fetched once
-    per segment — per-step cadence with zero extra device->host syncs.
+    and pred_xstart into carried slot buffers ([n_taps, *shape] each),
+    fetched once per segment — per-step cadence with zero extra
+    device->host syncs. ``step_ks`` lists the absolute step index of each
+    tap. HBM for the taps is bounded by CGD_TPU_IMG_TAP_MB (_img_tap_plan):
+    a segment long enough to blow the budget (save_frequency >> 25 at
+    512px) is decimated to the last step of each stride window; at the
+    default save_frequency=25 every guided step is tapped.
     """
     plan = build_step_plan(
         diffusion.num_timesteps, skip_timesteps, reduce_clip, progressive_cutout, num_cutouts
@@ -305,10 +328,10 @@ def sample_loop(
 
         emit_images = image_sink is not None and meta.guided
 
-        def scan_fn(params):
+        def scan_fn(params, img_stride):
             def body(carry, per_step):
-                x, y, rng, _last = carry
-                t, ref_t, nz_k = per_step
+                x, y, rng, _last, bufs = carry
+                t, ref_t, nz_k, i = per_step
                 x_noisy = x  # the step's incoming sample (wandb triptych)
                 rng, r = jax.random.split(rng)
                 res = step(
@@ -322,20 +345,38 @@ def sample_loop(
                 # carry only the latest pred_x0 — stacking per-step ys
                 # would write every step's x0 to HBM just to keep one
                 # (log scalars are tiny: stacked as scan outputs; image
-                # taps are stacked only when an image_sink asks for them)
-                ys = {"log": log}
+                # taps land in carried slot buffers only when an
+                # image_sink asks for them, bounded by _img_tap_plan)
                 if emit_images:
-                    ys["imgs"] = (x_noisy, pred_x0)
-                return (x, y, rng, pred_x0), ys
+                    bn, bp = bufs
+                    slot = i // img_stride  # last write in a window wins
+                    bn = jax.lax.dynamic_update_index_in_dim(bn, x_noisy, slot, 0)
+                    bp = jax.lax.dynamic_update_index_in_dim(
+                        bp, pred_x0.astype(bp.dtype), slot, 0
+                    )
+                    bufs = (bn, bp)
+                return (x, y, rng, pred_x0, bufs), {"log": log}
 
             return body
 
         @jax.jit
         def seg_fn(params, x, y, rng, ts, ref_ts, nz):
-            init = (x, y, rng, jnp.zeros_like(x))
-            (x, y, rng, last_pred), ys = jax.lax.scan(
-                scan_fn(params), init, (ts, ref_ts, nz)
+            seg_len = ts.shape[0]
+            if emit_images:
+                stride, n_taps = _img_tap_plan(seg_len, x.shape, x.dtype.itemsize)
+                bufs = (
+                    jnp.zeros((n_taps,) + x.shape, x.dtype),
+                    jnp.zeros((n_taps,) + x.shape, x.dtype),
+                )
+            else:
+                stride, bufs = 1, ()
+            idx = jnp.arange(seg_len, dtype=jnp.int32)
+            init = (x, y, rng, jnp.zeros_like(x), bufs)
+            (x, y, rng, last_pred, bufs), ys = jax.lax.scan(
+                scan_fn(params, stride), init, (ts, ref_ts, nz, idx)
             )
+            if emit_images:
+                ys = dict(ys, imgs=bufs)
             return x, y, rng, last_pred, ys
 
         return seg_fn
@@ -345,7 +386,19 @@ def sample_loop(
         ts, ref_ts, nz = seg_inputs(seg, seg_start)
         if meta_key not in scan_cache:
             scan_cache[meta_key] = build_seg_fn(seg[0])
-        return scan_cache[meta_key](params, x, y, rng, ts, ref_ts, nz)
+        fn = scan_cache[meta_key]
+        try:
+            return fn(params, x, y, rng, ts, ref_ts, nz)
+        except Exception:
+            if not isinstance(fn, jax.stages.Compiled):
+                raise
+            # an AOT-precompiled executable is pinned to the exact input
+            # shardings/layouts it was lowered with; if a later segment's
+            # carry comes back with a compiler-chosen resharding (possible
+            # on multi-chip meshes), fall back to jit for this signature —
+            # it re-specializes transparently like the lazy path always did
+            scan_cache[meta_key] = build_seg_fn(seg[0])
+            return scan_cache[meta_key](params, x, y, rng, ts, ref_ts, nz)
 
     # build the segment list up front (pure python) so per-segment RNG keys
     # can be split in ONE device op — eager splits inside the loop would cost
@@ -431,7 +484,9 @@ def sample_loop(
             loss_sink(k, {name: np.asarray(v) for name, v in logs.items()})
         if image_sink is not None and seg[0].guided:
             noisy, preds = ys["imgs"]
-            image_sink(k, np.asarray(noisy), np.asarray(preds))
+            stride, n_taps = _img_tap_plan(len(seg), x.shape, x.dtype.itemsize)
+            tap_ks = [k + min((j + 1) * stride, len(seg)) - 1 for j in range(n_taps)]
+            image_sink(tap_ks, np.asarray(noisy), np.asarray(preds))
         last_k = k + len(seg) - 1
         if last_k in save_at:
             yield last_k, pred_x0, x

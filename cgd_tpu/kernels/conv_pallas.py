@@ -143,7 +143,9 @@ def validate_measured_safe():
         # future entry with th>8 must extend this to pick its real h
         plan = _plan_fwd(th, w, cin, tco, z, resample=resample,
                          has_skip=has_skip)
-        if plan != (tco, tco, th):
+        # the measured fact is the (tco, th) tile; cout_p is derived padding
+        # and may legitimately differ from tco (e.g. 5x128 tilings)
+        if plan is None or (plan[0], plan[2]) != (tco, th):
             raise AssertionError(
                 f"_MEASURED_SAFE entry {key} is stale: _plan_fwd now "
                 f"selects {plan}; re-measure on device or drop the entry"

@@ -50,18 +50,24 @@ def _generate(payload: dict, weights_mode: str):
         raise ValueError("missing 'prompt'")
     kwargs = {k: v for k, v in payload.items() if k in ALLOWED_KWARGS}
     out_dir = tempfile.mkdtemp(prefix="cgd_serve_")
-    last = None
-    gen = clip_guided_diffusion(
-        prompts=prompt.split("|"),
-        prefix_path=out_dir,
-        save_frequency=payload.get("save_frequency", 10**9),  # final frame only
-        progress=False,
-        weights_mode=weights_mode,
-        **kwargs,
-    )
-    for _b, path in gen:
-        last = path
-    return last, out_dir
+    try:
+        last = None
+        gen = clip_guided_diffusion(
+            prompts=prompt.split("|"),
+            prefix_path=out_dir,
+            save_frequency=payload.get("save_frequency", 10**9),  # final frame only
+            progress=False,
+            weights_mode=weights_mode,
+            **kwargs,
+        )
+        for _b, path in gen:
+            last = path
+        return last, out_dir
+    except BaseException:
+        # the caller only removes the dir on the success path — don't let a
+        # failing request leak one cgd_serve_* tree per retry in the daemon
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise
 
 
 class Handler(BaseHTTPRequestHandler):

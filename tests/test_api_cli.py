@@ -414,15 +414,69 @@ class TestLossObservability:
         list(sample_loop(
             d, model_fn, builder, {}, (1, 16, 16, 3), jax.random.PRNGKey(0),
             SamplerConfig(use_ddim=True), save_frequency=4,
-            image_sink=lambda k, noisy, preds: taps.append((k, noisy, preds)),
+            image_sink=lambda ks, noisy, preds: taps.append((ks, noisy, preds)),
         ))
         # every one of the 10 guided steps tapped exactly once, in order
-        steps = [k + i for k, noisy, _ in taps for i in range(noisy.shape[0])]
+        steps = [int(s) for ks, _, _ in taps for s in ks]
         assert steps == list(range(10))
-        for _, noisy, preds in taps:
+        for ks, noisy, preds in taps:
+            assert noisy.shape[0] == len(ks)
             assert noisy.shape[1:] == (1, 16, 16, 3)
             assert preds.shape == noisy.shape
             assert np.isfinite(noisy).all() and np.isfinite(preds).all()
+
+    def test_sampler_image_sink_decimates_over_budget(self, monkeypatch):
+        """A segment whose stacked taps would exceed CGD_TPU_IMG_TAP_MB is
+        decimated to the last step of each stride window instead of
+        allocating the full [seg_len, *shape] pair in HBM (the
+        final-frame-only 512px failure mode)."""
+        import jax
+        import jax.numpy as jnp
+
+        from cgd_tpu.diffusion import make_diffusion
+        from cgd_tpu.diffusion.sampler import (
+            GuidanceFns,
+            SamplerConfig,
+            _img_tap_plan,
+            sample_loop,
+        )
+
+        # the real failure shape: 250-step segment at 512px f32 (~1.5 GB
+        # if stacked fully) must decimate under the default 128 MiB budget
+        stride, n_taps = _img_tap_plan(250, (1, 512, 512, 3), 4)
+        assert stride > 1 and n_taps == -(-250 // stride)
+        assert 2 * n_taps * 512 * 512 * 3 * 4 <= 192 << 20  # fits the budget
+        # default cadence stays per-step
+        monkeypatch.delenv("CGD_TPU_IMG_TAP_MB", raising=False)
+        assert _img_tap_plan(25, (1, 512, 512, 3), 4) == (1, 25)
+        assert _img_tap_plan(25, (1, 256, 256, 3), 4) == (1, 25)
+
+        d = make_diffusion(steps=100, timestep_respacing="10")
+
+        def model_fn(params, x, t_model, rng, y):
+            return jnp.concatenate([jnp.zeros_like(x), jnp.zeros_like(x)], -1)
+
+        def builder(meta):
+            def loss_fn(p, rng, x, out, ref_t):
+                loss = 1e-6 * jnp.sum(out.pred_xstart**2)
+                return loss, {"Total Loss": loss}
+
+            return GuidanceFns(loss_fn, lambda g: g)
+
+        monkeypatch.setenv("CGD_TPU_IMG_TAP_MB", "0")  # minimum budget
+        taps = []
+        list(sample_loop(
+            d, model_fn, builder, {}, (1, 16, 16, 3), jax.random.PRNGKey(0),
+            SamplerConfig(use_ddim=True), save_frequency=10**9,
+            image_sink=lambda ks, noisy, preds: taps.append((ks, noisy, preds)),
+        ))
+        # one 10-step guided segment, budget floored at one step's bytes ->
+        # stride 10: a single tap, the segment's LAST step
+        all_ks = [int(s) for ks, _, _ in taps for s in ks]
+        assert all_ks and all_ks[-1] == 9 and len(all_ks) < 10
+        for ks, noisy, preds in taps:
+            assert noisy.shape[0] == len(ks) and preds.shape == noisy.shape
+            assert np.isfinite(noisy).all()
 
 
 class TestTextEncoderReuse:
@@ -447,9 +501,40 @@ class TestTextEncoderReuse:
         )
         params = init_clip(jax.random.PRNGKey(0), cfg)
         tok = api._FallbackTokenizer(cfg.text.vocab_size)
-        before = api._text_encoder_traces
+        before = api._text_encoder_traces()
         e1 = api._encode_text_prompts(params, cfg, ["a x", "b y", "c z"], tok)
         assert e1.shape == (3, 32)
         e2 = api._encode_text_prompts(params, cfg, ["d", "e q", "f"], tok)
         assert e2.shape == (3, 32)
-        assert api._text_encoder_traces == before + 1
+        assert api._text_encoder_traces() == before + 1
+
+
+class TestMeshConvRoute:
+    def test_kill_switches_and_axon_default(self, monkeypatch):
+        """Mesh runs default to the SPMD-wrapped Pallas convs, but the
+        explicit env kill-switches must still win (they were silently
+        bypassed before this test existed), and the axon remote-compile
+        backend keeps XLA convs unless the user forces the kernel on."""
+        import types
+
+        from cgd_tpu.api import _mesh_conv_route
+
+        def fake_mesh(platform_version):
+            dev = types.SimpleNamespace(
+                client=types.SimpleNamespace(platform_version=platform_version)
+            )
+            return types.SimpleNamespace(devices=np.array([dev], dtype=object))
+
+        for k in ("CGD_TPU_PALLAS_CONV", "CGD_TPU_PALLAS_CONV_SPMD"):
+            monkeypatch.delenv(k, raising=False)
+        assert _mesh_conv_route(fake_mesh("cpu v1")) == "spmd"  # default
+        # axon cannot call back into client-side partition callbacks
+        assert _mesh_conv_route(fake_mesh("axon 1.0")) == ""
+        monkeypatch.setenv("CGD_TPU_PALLAS_CONV", "1")  # explicit force
+        assert _mesh_conv_route(fake_mesh("axon 1.0")) == "spmd"
+        # explicit kill-switches beat the mesh default
+        monkeypatch.setenv("CGD_TPU_PALLAS_CONV", "0")
+        assert _mesh_conv_route(fake_mesh("cpu v1")) == ""
+        monkeypatch.delenv("CGD_TPU_PALLAS_CONV")
+        monkeypatch.setenv("CGD_TPU_PALLAS_CONV_SPMD", "0")
+        assert _mesh_conv_route(fake_mesh("cpu v1")) == ""

@@ -1,6 +1,7 @@
 """HTTP serving daemon e2e (tiny debug models, CPU)."""
 
 import json
+import os
 import threading
 import urllib.request
 from http.server import ThreadingHTTPServer
@@ -51,3 +52,19 @@ class TestServe:
             urllib.request.urlopen(req)
         assert ei.value.code == 400
         assert "prompt" in json.loads(ei.value.read())["error"]
+
+    def test_failed_generate_removes_scratch_dir(self, monkeypatch):
+        """A failing request must not leak its cgd_serve_* temp tree — the
+        success-path caller cleanup never sees a dir when _generate raises."""
+        import glob
+        import tempfile
+
+        from cgd_tpu import serve
+
+        before = set(glob.glob(os.path.join(tempfile.gettempdir(), "cgd_serve_*")))
+        with pytest.raises(AssertionError):
+            serve._generate(
+                {"prompt": "x", "clip_model_name": "/no/such/model.pt"}, "random"
+            )
+        after = set(glob.glob(os.path.join(tempfile.gettempdir(), "cgd_serve_*")))
+        assert after == before

@@ -11,9 +11,10 @@ first network-capable box, run:
 Protocol (each phase prints PASS/FAIL and the script exits non-zero on the
 first failure):
 
-1. download + convert the 64px class-cond ADM checkpoint and ViT-B/32 CLIP
-   (resolve_unet / resolve_clip "auto" paths: download -> torch(.jit).load ->
-   convert -> .npz.cgd cache), with strict parameter-count accounting;
+1. download + convert the 64px class-cond ADM checkpoint, ViT-B/32 CLIP,
+   and the LPIPS VGG16 weights (resolve_unet / resolve_clip / resolve_lpips
+   "auto" paths: download -> torch(.jit).load -> convert -> .npz.cgd cache),
+   with strict parameter-count accounting;
 2. re-resolve to prove the convert-once cache hits;
 3. run BASELINE acceptance config 1 (64px, cosine, ddim25, ViT-B/32, one
    prompt, batch 1) end-to-end through the public API;
@@ -105,6 +106,16 @@ def main():
         assert n_clip > 1e8, f"ViT-B/32 parameter count suspicious: {n_clip}"
     done("resolve_clip_vit_b32", params=n_clip)
 
+    phase("resolve_lpips_vgg")
+    from cgd_tpu.weights import resolve_lpips
+
+    lpips_params = resolve_lpips(ckpt_dir, mode)
+    n_lpips = _count_params(lpips_params)
+    if not args.dry_run:
+        # torchvision VGG16 features + lpips v0.1 heads: ~14.7M parameters
+        assert n_lpips > 1.4e7, f"LPIPS parameter count suspicious: {n_lpips}"
+    done("resolve_lpips_vgg", params=n_lpips)
+
     # --- 2. convert-once cache must hit on re-resolve ----------------------
     phase("cache_hit")
     if args.dry_run:
@@ -113,6 +124,7 @@ def main():
         t0 = time.time()
         resolve_unet(64, True, ckpt_dir, mode)
         resolve_clip("ViT-B/32", ckpt_dir, mode)
+        resolve_lpips(ckpt_dir, mode)
         dt = time.time() - t0
         from cgd_tpu.weights import _converted_path
         from cgd_tpu.registry import DIFFUSION_LOOKUP
