@@ -434,9 +434,7 @@ def sample_loop(
     # 481 s serial vs 519 s threaded (within tunnel variance, no win), so
     # the default requires >=4 host cores. CGD_TPU_PRECOMPILE=0 disables;
     # =1 forces (e.g. to cover the path in CPU tests).
-    import os as _os
-
-    _pc = _os.environ.get("CGD_TPU_PRECOMPILE")
+    _pc = os.environ.get("CGD_TPU_PRECOMPILE")
     distinct = {}
     for (k, seg), r in zip(segments, seg_keys):
         mk = (len(seg), seg[0].guided, seg[0].cutn, has_noise)
@@ -445,7 +443,7 @@ def sample_loop(
         _pc != "0"
         and len(distinct) > 1
         and jax.default_backend() != "cpu"
-        and (_os.cpu_count() or 1) >= 4
+        and (os.cpu_count() or 1) >= 4
     )
     if precompile and len(distinct) > 0:
         from concurrent.futures import ThreadPoolExecutor
