@@ -242,6 +242,11 @@ def clip_guided_diffusion(
     # detached denoised prediction (classic pre-fork CLIP guidance) — skips
     # the UNet backward, ~45% faster guided steps; re-validate quality with
     # real weights (see SamplerConfig.fast_guidance).
+    checkpoint_path: Optional[str] = None,  # save resumable sampling state
+    # (x, y, segment index + config guard) after every scan segment;
+    # atomic write. Resume with resume_from (bit-exact continuation).
+    resume_from: Optional[str] = None,  # checkpoint file to resume from;
+    # run configuration must match the checkpointed run exactly.
 ) -> Iterator[Tuple[int, str]]:
     from cgd_tpu.utils.compile_cache import enable_compile_cache
 
@@ -520,6 +525,50 @@ def clip_guided_diffusion(
         init_noise = rec["init"] if "init" in rec.files else None
         noise_steps = rec["steps"] if "steps" in rec.files else None
 
+    # Mid-run sampling-state checkpointing (beyond the reference): the
+    # sampler's per-segment RNG keys derive only from the seed, so saving
+    # the carried (x, y) at a segment boundary and replaying the remaining
+    # segments continues the run bit-exactly. The meta guard refuses to
+    # resume under a different run configuration (which would silently
+    # produce a different image).
+    import json as _json
+
+    run_meta = _json.dumps({
+        "seed": seed, "shape": list(shape),
+        "timestep_respacing": timestep_respacing,
+        "diffusion_steps": diffusion_steps, "noise_schedule": noise_schedule,
+        "skip_timesteps": skip_timesteps, "num_cutouts": num_cutouts,
+        "save_frequency": save_frequency, "reduce_clip": reduce_clip,
+        "progressive_cutout": progressive_cutout,
+        "fast_guidance": fast_guidance, "class_cond": class_cond,
+        "randomize_class": randomize_class,
+    }, sort_keys=True)
+    state_sink = resume_state = None
+    if resume_from:
+        rec = np.load(resume_from)
+        saved_meta = str(rec["meta"])
+        if saved_meta != run_meta:
+            raise ValueError(
+                "resume_from checkpoint was written by a different run "
+                f"configuration:\n  saved: {saved_meta}\n  this:  {run_meta}"
+            )
+        resume_state = {
+            "next_seg": int(rec["next_seg"]),
+            "x": rec["x"],
+            "y": rec["y"] if "y" in rec.files else None,
+        }
+        say(f"Resuming from {resume_from} at segment {resume_state['next_seg']}.")
+    if checkpoint_path:
+
+        def state_sink(next_seg, st):
+            data = {"next_seg": next_seg, "x": st["x"], "meta": run_meta}
+            if st["y"] is not None:
+                data["y"] = st["y"]
+            tmp = f"{checkpoint_path}.tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, **data)
+            os.replace(tmp, checkpoint_path)
+
     from cgd_tpu.ops.nn import conv_routing
 
     rng, r_loop = jax.random.split(rng)
@@ -547,6 +596,8 @@ def clip_guided_diffusion(
             final_frame_parity=strict_parity,
             loss_sink=loss_sink,
             image_sink=image_sink,
+            state_sink=state_sink,
+            resume=resume_state,
         )
         while True:
             with conv_routing(conv_route):

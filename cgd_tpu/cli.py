@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="guide on a detached denoised prediction (classic pre-fork CLIP "
                         "guidance; skips the UNet backward, ~45%% faster steps). NOT "
                         "reference semantics — quality differs from the default")
+    p.add_argument("--checkpoint", default=None, type=str, metavar="PATH",
+                   help="save resumable sampling state (atomic npz) after every "
+                        "scan segment; continue an interrupted run with --resume")
+    p.add_argument("--resume", default=None, type=str, metavar="PATH",
+                   help="resume sampling from a --checkpoint file (bit-exact "
+                        "continuation; the run flags must match the original)")
     p.add_argument("--no-strict-parity", dest="strict_parity", action="store_false",
                    help="fix reference quirks instead of replicating them: always save "
                         "the final frame even with skip>0, CLIP-normalize image prompts, "
@@ -157,6 +163,8 @@ def main(argv=None):
         log_losses=args.log_losses,
         strict_parity=args.strict_parity,
         fast_guidance=args.fast_guidance,
+        checkpoint_path=args.checkpoint,
+        resume_from=args.resume,
     )
     list(enumerate(cgd_generator))  # drain the generator
 

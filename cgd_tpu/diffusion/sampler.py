@@ -236,6 +236,8 @@ def sample_loop(
     final_frame_parity: bool = False,
     loss_sink: Optional[Callable[[int, dict], None]] = None,
     image_sink: Optional[Callable[[list, "np.ndarray", "np.ndarray"], None]] = None,
+    state_sink: Optional[Callable[[int, dict], None]] = None,
+    resume: Optional[dict] = None,
 ) -> Iterator[Tuple[int, jnp.ndarray]]:
     """Run the full guided sampling schedule, yielding (consumed_step_index,
     pred_xstart, x_t) at the reference's save points: every ``save_frequency``
@@ -272,6 +274,15 @@ def sample_loop(
     a segment long enough to blow the budget (save_frequency >> 25 at
     512px) is decimated to the last step of each stride window; at the
     default save_frequency=25 every guided step is tapped.
+
+    ``state_sink(next_seg, {"x", "y"})`` / ``resume``: mid-run sampling-state
+    checkpointing (beyond the reference — long 512px/1000-step runs on
+    preemptible TPUs continue instead of restarting). The sink receives the
+    carried sample (and class vector) after every scan segment; ``resume``
+    = {"next_seg", "x", "y"} fast-forwards to that segment boundary.
+    Per-segment RNG keys are all split up front from the run seed, so a
+    resumed run replays the remaining segments BIT-EXACTLY equal to the
+    uninterrupted run (pinned by tests/test_sampler.py).
     """
     plan = build_step_plan(
         diffusion.num_timesteps, skip_timesteps, reduce_clip, progressive_cutout, num_cutouts
@@ -469,7 +480,24 @@ def sample_loop(
         # jit cache slot so run_segment dispatches straight to it
         scan_cache.update(compiled)
 
-    for (k, seg), r in zip(segments, seg_keys):
+    start_seg = 0
+    if resume is not None:
+        # restore the carried state at a segment boundary; the per-segment
+        # keys above only depend on the run seed, so replaying the remaining
+        # segments reproduces the uninterrupted run bit-exactly
+        start_seg = int(resume["next_seg"])
+        if not 0 <= start_seg <= len(segments):
+            raise ValueError(
+                f"resume next_seg={start_seg} outside this plan's "
+                f"{len(segments)} segments — different run configuration?"
+            )
+        x = jnp.asarray(resume["x"], jnp.float32)
+        if resume.get("y") is not None:
+            y = jnp.asarray(resume["y"], jnp.int32)
+
+    for si, ((k, seg), r) in enumerate(zip(segments, seg_keys)):
+        if si < start_seg:
+            continue  # already completed by the checkpointed run
         # y must be a concrete array for scan carry; use dummy when uncond
         y_in = y if y is not None else jnp.zeros((shape[0],), jnp.int32)
         x, y_out, _, pred_x0, ys = run_segment(params, x, y_in, r, seg, k)
@@ -485,6 +513,13 @@ def sample_loop(
             stride, n_taps = _img_tap_plan(len(seg), x.shape, x.dtype.itemsize)
             tap_ks = [k + min((j + 1) * stride, len(seg)) - 1 for j in range(n_taps)]
             image_sink(tap_ks, np.asarray(noisy), np.asarray(preds))
+        if state_sink is not None:
+            # persist BEFORE yielding: a consumer killed mid-save still
+            # resumes from the completed segment
+            state_sink(si + 1, {
+                "x": np.asarray(x),
+                "y": None if y is None else np.asarray(y),
+            })
         last_k = k + len(seg) - 1
         if last_k in save_at:
             yield last_k, pred_x0, x

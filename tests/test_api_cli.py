@@ -538,3 +538,54 @@ class TestMeshConvRoute:
         monkeypatch.delenv("CGD_TPU_PALLAS_CONV")
         monkeypatch.setenv("CGD_TPU_PALLAS_CONV_SPMD", "0")
         assert _mesh_conv_route(fake_mesh("cpu v1")) == ""
+
+
+class TestCheckpointResumeAPI:
+    @pytest.mark.slow
+    def test_checkpoint_resume_bit_exact_final_frame(self, tmp_path):
+        """--checkpoint / --resume: interrupt after the first save point,
+        resume from the state file, and the final frame is bit-identical to
+        the uninterrupted run (per-segment keys derive from the seed)."""
+        from PIL import Image
+
+        from cgd_tpu.api import clip_guided_diffusion
+
+        common = dict(
+            prompts=["resume test"], image_size=64, timestep_respacing="ddim10",
+            num_cutouts=2, save_frequency=4, weights_mode="random",
+            progress=False, seed=11,
+        )
+        full = list(clip_guided_diffusion(**common, prefix_path=tmp_path / "full"))
+
+        ck = str(tmp_path / "state.npz")
+        gen = clip_guided_diffusion(
+            **common, prefix_path=tmp_path / "part", checkpoint_path=ck
+        )
+        next(gen)
+        gen.close()  # interrupted run
+        assert os.path.exists(ck) and not os.path.exists(ck + ".tmp")
+
+        resumed = list(clip_guided_diffusion(
+            **common, prefix_path=tmp_path / "res", resume_from=ck
+        ))
+        assert resumed  # only the remaining save points are re-emitted
+        assert len(resumed) < len(full)
+        a = np.asarray(Image.open(full[-1][1]))
+        b = np.asarray(Image.open(resumed[-1][1]))
+        np.testing.assert_array_equal(a, b)
+
+    def test_resume_rejects_mismatched_config(self, tmp_path):
+        """The meta guard refuses a checkpoint from a different run
+        configuration instead of silently producing a different image."""
+        from cgd_tpu.api import clip_guided_diffusion
+
+        ck = tmp_path / "bad.npz"
+        np.savez(ck, next_seg=1, x=np.zeros((1, 64, 64, 3), np.float32),
+                 meta="{}")
+        gen = clip_guided_diffusion(
+            prompts=["x"], image_size=64, timestep_respacing="ddim10",
+            num_cutouts=2, weights_mode="random", progress=False,
+            prefix_path=tmp_path / "o", resume_from=str(ck),
+        )
+        with pytest.raises(ValueError, match="different run configuration"):
+            next(gen)

@@ -233,3 +233,57 @@ class TestFastGuidance:
         g_fast, x1 = self._step(loss, fast=True)
         assert np.abs(g_fast).max() > 0.0
         assert np.isfinite(x1).all()
+
+
+class TestCheckpointResume:
+    """Mid-run sampling-state checkpointing (state_sink) + bit-exact resume:
+    per-segment RNG keys derive only from the run seed, so restoring the
+    carried x at a segment boundary replays the remaining segments exactly."""
+
+    def _run(self, state_sink=None, resume=None, stop_after=None):
+        d = make_diffusion(steps=100, timestep_respacing="10")
+
+        def model_fn(params, x, t_model, rng, y):
+            return jnp.concatenate([jnp.tanh(x), jnp.zeros_like(x)], -1)
+
+        def builder(meta):
+            def loss_fn(p, rng, x, out, ref_t):
+                return 1e-3 * jnp.sum(out.pred_xstart**2)
+
+            return GuidanceFns(loss_fn, lambda g: g)
+
+        outs = []
+        gen = sample_loop(
+            d, model_fn, builder, {}, (1, 16, 16, 3), jax.random.PRNGKey(7),
+            SamplerConfig(use_ddim=False),  # p-sample: per-step noise exercises
+            save_frequency=3,               # the RNG-stream alignment claim
+            state_sink=state_sink, resume=resume,
+        )
+        for i, item in enumerate(gen):
+            outs.append(item)
+            if stop_after is not None and i + 1 >= stop_after:
+                gen.close()
+                break
+        return outs
+
+    def test_resume_is_bit_exact(self):
+        full = self._run()
+        assert len(full) == 4  # save points 2,5,8,9 -> 4 segments
+
+        snaps = {}
+        interrupted = self._run(
+            state_sink=lambda n, st: snaps.__setitem__(n, st), stop_after=2
+        )
+        assert len(interrupted) == 2 and snaps
+        n0 = max(snaps)  # latest completed segment boundary
+
+        resumed = self._run(resume={"next_seg": n0, **snaps[n0]})
+        assert len(resumed) == len(full) - n0
+        for (k1, p1, x1), (k2, p2, x2) in zip(full[-len(resumed):], resumed):
+            assert k1 == k2
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+            np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+    def test_resume_rejects_out_of_range_segment(self):
+        with pytest.raises(ValueError, match="outside this plan"):
+            self._run(resume={"next_seg": 99, "x": np.zeros((1, 16, 16, 3)), "y": None})
