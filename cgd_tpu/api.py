@@ -534,6 +534,10 @@ def clip_guided_diffusion(
     import json as _json
 
     run_meta = _json.dumps({
+        # everything that shapes the remaining segments or their guidance:
+        # segment structure (respacing/skip/save/strict_parity via the
+        # final-frame save point), RNG (seed), and the guidance math — a
+        # mismatch would silently continue toward a DIFFERENT image.
         "seed": seed, "shape": list(shape),
         "timestep_respacing": timestep_respacing,
         "diffusion_steps": diffusion_steps, "noise_schedule": noise_schedule,
@@ -541,7 +545,14 @@ def clip_guided_diffusion(
         "save_frequency": save_frequency, "reduce_clip": reduce_clip,
         "progressive_cutout": progressive_cutout,
         "fast_guidance": fast_guidance, "class_cond": class_cond,
-        "randomize_class": randomize_class,
+        "randomize_class": randomize_class, "strict_parity": strict_parity,
+        "prompts": list(prompts), "image_prompts": list(image_prompts),
+        "clip_model_name": clip_model_name,
+        "clip_guidance_scale": clip_guidance_scale, "tv_scale": tv_scale,
+        "range_scale": range_scale, "sat_scale": sat_scale,
+        "init_scale": init_scale, "cutout_power": cutout_power,
+        "use_augs": use_augs, "use_magnitude": use_magnitude,
+        "cached_cutouts": cached_cutouts, "compute_dtype": compute_dtype,
     }, sort_keys=True)
     state_sink = resume_state = None
     if resume_from:
