@@ -201,7 +201,8 @@ def test_first_real_run_dry(tmp_path, monkeypatch):
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
     report = json.load(open(tmp_path / "o" / "first_real_run_report.json"))
     assert set(report["phases"]) == {
-        "resolve_unet_64", "resolve_clip_vit_b32", "cache_hit",
+        "resolve_unet_64", "resolve_clip_vit_b32", "resolve_lpips_vgg",
+        "cache_hit",
         "acceptance_config_1", "clip_score",
     }
     assert report["parity_table"]["cgd_tpu_clip_score"]["n"] == 1
