@@ -245,6 +245,7 @@ def clip_guided_diffusion(
     checkpoint_path: Optional[str] = None,  # save resumable sampling state
     # (x, y, segment index + config guard) after every scan segment;
     # atomic write. Resume with resume_from (bit-exact continuation).
+    # Costs one device->host image fetch per segment while enabled.
     resume_from: Optional[str] = None,  # checkpoint file to resume from;
     # run configuration must match the checkpointed run exactly.
 ) -> Iterator[Tuple[int, str]]:
