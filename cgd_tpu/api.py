@@ -571,6 +571,8 @@ def clip_guided_diffusion(
         }
         say(f"Resuming from {resume_from} at segment {resume_state['next_seg']}.")
     if checkpoint_path:
+        ck_parent = os.path.dirname(os.path.abspath(checkpoint_path))
+        os.makedirs(ck_parent, exist_ok=True)
 
         def state_sink(next_seg, st):
             data = {"next_seg": next_seg, "x": st["x"], "meta": run_meta}
