@@ -114,6 +114,7 @@ def _torch_guided_step(use_ddim, tunet, tvit, d, x0, noise, target, weights, coo
     grad = -torch.autograd.grad(loss, x)[0]
 
     nz = torch.tensor(np.transpose(noise, (0, 3, 1, 2)))
+    nonzero = 1.0 if t_idx != 0 else 0.0  # no noise at the final timestep
     if use_ddim:
         abar = float(c.alphas_cumprod[t_idx])
         abar_prev = float(c.alphas_cumprod_prev[t_idx])
@@ -127,8 +128,11 @@ def _torch_guided_step(use_ddim, tunet, tvit, d, x0, noise, target, weights, coo
         sample = px0 * np.sqrt(abar_prev) + np.sqrt(1 - abar_prev) * eps_d
     else:
         new_mean = mean + torch.exp(log_var) * grad
-        sample = new_mean + torch.exp(0.5 * log_var) * nz  # t != 0
-    return sample.detach().numpy().transpose(0, 2, 3, 1)
+        sample = new_mean + nonzero * torch.exp(0.5 * log_var) * nz
+    return (
+        sample.detach().numpy().transpose(0, 2, 3, 1),
+        pred_x0.detach().numpy().transpose(0, 2, 3, 1),
+    )
 
 
 @pytest.mark.parametrize("use_ddim", [False, True])
@@ -139,7 +143,7 @@ def test_guided_step_matches_torch(use_ddim):
     t_idx, ref_t = 30, 42
     scales = {"cgs": 120.0, "range": 50.0, "tv": 150.0}
 
-    ref = _torch_guided_step(
+    ref, _ref_px0 = _torch_guided_step(
         use_ddim, tunet, tvit, d, x0, noise, target, weights, coords, t_idx, ref_t, scales
     )
 
