@@ -248,6 +248,12 @@ def clip_guided_diffusion(
     # Costs one device->host image fetch per segment while enabled.
     resume_from: Optional[str] = None,  # checkpoint file to resume from;
     # run configuration must match the checkpointed run exactly.
+    stall_pet=None,  # progress callback fn(phase: str) for stall detection:
+    # called at every phase transition and after every sampler segment, so a
+    # utils.watchdog.StallDetector owned by the caller (the CLI's
+    # --stall-timeout, or any supervisor) can tell a long compile from a
+    # hung device backend. See cgd_tpu/utils/watchdog.py for the incident
+    # that motivated this.
 ) -> Iterator[Tuple[int, str]]:
     from cgd_tpu.utils.compile_cache import enable_compile_cache
 
@@ -282,6 +288,8 @@ def clip_guided_diffusion(
         noise_schedule=noise_schedule,
     )
 
+    pet = stall_pet if stall_pet is not None else (lambda phase: None)
+
     rng = jax.random.PRNGKey(seed)
 
     if not use_magnitude and image_size == 64:
@@ -292,6 +300,7 @@ def clip_guided_diffusion(
     Path(checkpoints_dir).mkdir(parents=True, exist_ok=True)
 
     # ---- models -----------------------------------------------------------
+    pet("resolve model checkpoints")
     clip_params, clip_cfg = resolve_clip(clip_model_name, checkpoints_dir, weights_mode)
     unet_params, unet_cfg, flags = resolve_unet(
         image_size, class_cond, checkpoints_dir, weights_mode,
@@ -317,6 +326,7 @@ def clip_guided_diffusion(
         tokenizer = get_tokenizer()
 
     # ---- prompt encoding --------------------------------------------------
+    pet("encode prompts")
     embeds_list, weights_list = [], []
     parsed = [parse_prompt(p) for p in prompts]
     if parsed:
@@ -585,6 +595,17 @@ def clip_guided_diffusion(
 
     from cgd_tpu.ops.nn import conv_routing
 
+    steps_done = 0
+
+    def _progress(n_steps):
+        # called by the sampler after EVERY scan segment — the finest-grained
+        # liveness signal a hung backend cannot fake
+        nonlocal steps_done
+        steps_done += n_steps
+        pet(f"sampling ({steps_done} steps done)")
+        if bar is not None:
+            bar.update(n_steps)
+
     rng, r_loop = jax.random.split(rng)
 
     def routed_sample_loop():
@@ -604,7 +625,7 @@ def clip_guided_diffusion(
             num_cutouts=num_cutouts,
             save_frequency=save_frequency,
             y_init=y_init,
-            progress_cb=(bar.update if bar is not None else None),
+            progress_cb=_progress,
             noise_override=noise_steps,
             init_noise=init_noise,
             final_frame_parity=strict_parity,
@@ -622,6 +643,7 @@ def clip_guided_diffusion(
             yield item
 
     try:
+        pet("compile + first sampling segment")
         for step_k, pred_x0, x_t in routed_sample_loop():
             frames = np.asarray(pred_x0)
             for batch_idx in range(batch_size):

@@ -96,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None, type=str, metavar="PATH",
                    help="resume sampling from a --checkpoint file (bit-exact "
                         "continuation; the run flags must match the original)")
+    p.add_argument("--stall-timeout", default=0.0, type=float, metavar="SECONDS",
+                   help="fail instead of hanging forever if the device backend stops "
+                        "responding: exit with code 117 (and write <prefix>/stall_report.json) "
+                        "when no progress happens for SECONDS. Set it above the worst "
+                        "expected compile time (cold segment compiles can take minutes "
+                        "on remote backends). 0 disables. Pairs with --checkpoint/--resume "
+                        "so a supervisor can restart the run where it stalled")
     p.add_argument("--no-strict-parity", dest="strict_parity", action="store_false",
                    help="fix reference quirks instead of replicating them: always save "
                         "the final frame even with skip>0, CLIP-normalize image prompts, "
@@ -120,6 +127,14 @@ def main(argv=None):
 
         jax.profiler.start_trace(args.profile)
         profile_ctx = args.profile
+
+    from cgd_tpu.utils.watchdog import StallDetector
+
+    stall_dog = StallDetector(
+        args.stall_timeout,
+        exit_on_stall=True,
+        report_path=str(Path(prefix_path) / "stall_report.json"),
+    )
 
     cgd_generator = clip_guided_diffusion(
         prompts=prompts,
@@ -165,8 +180,10 @@ def main(argv=None):
         fast_guidance=args.fast_guidance,
         checkpoint_path=args.checkpoint,
         resume_from=args.resume,
+        stall_pet=stall_dog.pet,
     )
-    list(enumerate(cgd_generator))  # drain the generator
+    with stall_dog:
+        list(enumerate(cgd_generator))  # drain the generator
 
     if profile_ctx:
         import jax

@@ -39,7 +39,7 @@ ALLOWED_KWARGS = {
 }
 
 
-def _generate(payload: dict, weights_mode: str):
+def _generate(payload: dict, weights_mode: str, stall_pet=None):
     """Run one generation; returns (final_frame_path, scratch_dir). The
     caller owns the scratch dir and removes it once the frame is read —
     a long-running daemon must not accumulate per-request temp trees."""
@@ -58,6 +58,7 @@ def _generate(payload: dict, weights_mode: str):
             save_frequency=payload.get("save_frequency", 10**9),  # final frame only
             progress=False,
             weights_mode=weights_mode,
+            stall_pet=stall_pet,
             **kwargs,
         )
         for _b, path in gen:
@@ -72,6 +73,7 @@ def _generate(payload: dict, weights_mode: str):
 
 class Handler(BaseHTTPRequestHandler):
     weights_mode = "auto"
+    stall_timeout = 0.0  # seconds; armed per in-flight request (idle is not a stall)
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -99,7 +101,13 @@ class Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
             with _LOCK:  # one TPU context; serialize generations
-                frame, scratch = _generate(payload, self.weights_mode)
+                # A hung device backend would wedge every future request too
+                # (one TPU context) — exit 117 so the supervisor restarts the
+                # daemon instead (cgd_tpu/utils/watchdog.py).
+                from cgd_tpu.utils.watchdog import StallDetector
+
+                with StallDetector(self.stall_timeout, exit_on_stall=True) as dog:
+                    frame, scratch = _generate(payload, self.weights_mode, stall_pet=dog.pet)
             try:
                 if frame is None:
                     raise RuntimeError("no frame produced")
@@ -126,8 +134,13 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--weights-mode", default="auto", choices=["auto", "random"])
+    ap.add_argument("--stall-timeout", type=float, default=0.0, metavar="SECONDS",
+                    help="exit 117 (for supervisor restart) if an in-flight request "
+                         "makes no progress for SECONDS; set above worst-case compile. "
+                         "0 disables")
     args = ap.parse_args(argv)
     Handler.weights_mode = args.weights_mode
+    Handler.stall_timeout = args.stall_timeout
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     print(f"cgd-tpu serving on http://{args.host}:{args.port} (weights={args.weights_mode})")
     server.serve_forever()
