@@ -37,9 +37,22 @@ def main():
     ap.add_argument("--clip", default="ViT-B/32")
     ap.add_argument("--fast", action="store_true",
                     help="fast_guidance mode (detached pred_xstart; NOT reference semantics)")
+    ap.add_argument("--stall-timeout", type=float, default=1200.0, metavar="SECONDS",
+                    help="exit 117 with a stack dump if no phase completes for this "
+                         "long (a hung tunneled backend otherwise blocks forever — "
+                         "see STATUS.md 2026-08-17 outage). Must exceed the worst "
+                         "legitimate gap: cold 250-step compile ~4-5 min + first "
+                         "device->host fetch 2-6 min. 0 disables")
     args = ap.parse_args()
 
     from cgd_tpu.utils.compile_cache import enable_compile_cache
+    from cgd_tpu.utils.watchdog import StallDetector
+
+    # The 2026-08-17 tunnel outage hung even jax.devices() at backend init
+    # with no error; the watchdog turns that into exit 117 + thread stacks
+    # so the bench driver sees a diagnosable failure instead of a stall.
+    dog = StallDetector(args.stall_timeout, exit_on_stall=True)
+    dog.__enter__()
 
     enable_compile_cache()
 
@@ -49,7 +62,9 @@ def main():
     from cgd_tpu.models.unet import apply_unet
     from cgd_tpu.weights import resolve_clip, resolve_unet
 
+    dog.pet("backend init (jax.devices)")
     log(f"devices: {jax.devices()}")
+    dog.pet("validate conv-plan allowlist")
     if jax.default_backend() != "cpu":
         # re-validate the measured-fact conv-plan allowlist on this exact
         # kernel/backend before timing (fails loudly if stale — VERDICT r2)
@@ -57,6 +72,7 @@ def main():
 
         log("validating _MEASURED_SAFE conv plans on-device...")
         validate_measured_safe()
+    dog.pet("resolve weights + build step")
     clip_params, clip_cfg = resolve_clip(args.clip, mode="random")
     unet_params, unet_cfg, flags = resolve_unet(args.size, True, mode="random")
     from cgd_tpu.ops.nn import cast_conv_params
@@ -110,6 +126,7 @@ def main():
         y0 = jnp.zeros((args.batch,), jnp.int32)
 
     log(f"compiling {args.size}px {args.respace} guided loop (cutn={args.cutn})...")
+    dog.pet("compile + warmup run (fetch-forced)")
     t0 = time.time()
     out = run(params, x0, y0, jax.random.PRNGKey(1))
     # NOTE: on the tunneled axon backend block_until_ready is unreliable —
@@ -121,11 +138,13 @@ def main():
     # min of 3: the tunneled backend shows ~±10% run-to-run variance
     times = []
     for i in range(3):
+        dog.pet(f"timed run {i}")
         t0 = time.time()
         out = run(params, x0, y0, jax.random.PRNGKey(2 + i))
         _ = float(jnp.mean(out))
         times.append(time.time() - t0)
         log(f"run {i}: {times[-1]:.2f}s")
+    dog.__exit__(None, None, None)  # timing done; don't watch JSON printing
     dt = min(times)
     per_image = dt / args.batch
     log(f"steady-state (min of 3): {dt:.2f}s total, {S / dt:.2f} guided steps/s, "
