@@ -238,6 +238,11 @@ def clip_guided_diffusion(
     # condition (cgd/cgd.py:268 never fires when skip>0), image-prompt
     # channel-L2 normalize (clip_util.py:100), init_image square resize
     # (cgd/cgd.py:118 — incompatible with offsets). False applies the fixes.
+    dpm_solver: bool = False,  # beyond the reference: DPM-Solver++(2M)
+    # second-order multistep update instead of DDIM/ancestral — comparable
+    # quality at ~4-5x fewer respaced steps (e.g. ddim50 budgets near ddim250
+    # quality; convergence order pinned by tests/test_dpm.py). Deterministic;
+    # overrides the ddim/p choice implied by timestep_respacing.
     fast_guidance: bool = False,  # NOT reference semantics: guide on a
     # detached denoised prediction (classic pre-fork CLIP guidance) — skips
     # the UNet backward, ~45% faster guided steps; re-validate quality with
@@ -517,6 +522,7 @@ def clip_guided_diffusion(
         randomize_class=(randomize_class and class_cond),
         num_classes=1000,
         fast_guidance=fast_guidance,
+        dpm_solver=dpm_solver,
     )
     y_init = jnp.zeros((batch_size,), jnp.int32) if class_cond else None
     shape = (batch_size, image_size + height_offset, image_size + width_offset, 3)
@@ -555,7 +561,8 @@ def clip_guided_diffusion(
         "skip_timesteps": skip_timesteps, "num_cutouts": num_cutouts,
         "save_frequency": save_frequency, "reduce_clip": reduce_clip,
         "progressive_cutout": progressive_cutout,
-        "fast_guidance": fast_guidance, "class_cond": class_cond,
+        "fast_guidance": fast_guidance, "dpm_solver": dpm_solver,
+        "class_cond": class_cond,
         "randomize_class": randomize_class, "strict_parity": strict_parity,
         "prompts": list(prompts), "image_prompts": list(image_prompts),
         "clip_model_name": clip_model_name,
@@ -578,6 +585,7 @@ def clip_guided_diffusion(
             "next_seg": int(rec["next_seg"]),
             "x": rec["x"],
             "y": rec["y"] if "y" in rec.files else None,
+            "x0p": rec["x0p"] if "x0p" in rec.files else None,
         }
         say(f"Resuming from {resume_from} at segment {resume_state['next_seg']}.")
     if checkpoint_path:
@@ -588,6 +596,8 @@ def clip_guided_diffusion(
             data = {"next_seg": next_seg, "x": st["x"], "meta": run_meta}
             if st["y"] is not None:
                 data["y"] = st["y"]
+            if st.get("x0p") is not None:  # dpm_solver multistep state
+                data["x0p"] = st["x0p"]
             tmp = f"{checkpoint_path}.tmp"
             with open(tmp, "wb") as f:
                 np.savez(f, **data)

@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="guide on a detached denoised prediction (classic pre-fork CLIP "
                         "guidance; skips the UNet backward, ~45%% faster steps). NOT "
                         "reference semantics — quality differs from the default")
+    p.add_argument("--dpm-solver", dest="dpm_solver", action="store_true",
+                   help="use the DPM-Solver++(2M) second-order multistep update instead of "
+                        "DDIM/ancestral: comparable quality at ~4-5x fewer respaced steps "
+                        "(try ddim50 budgets). Deterministic. Beyond the reference — "
+                        "NOT reference semantics")
     p.add_argument("--checkpoint", default=None, type=str, metavar="PATH",
                    help="save resumable sampling state (atomic npz) after every "
                         "scan segment; continue an interrupted run with --resume")
@@ -178,6 +183,7 @@ def main(argv=None):
         log_losses=args.log_losses,
         strict_parity=args.strict_parity,
         fast_guidance=args.fast_guidance,
+        dpm_solver=args.dpm_solver,
         checkpoint_path=args.checkpoint,
         resume_from=args.resume,
         stall_pet=stall_dog.pet,

@@ -18,7 +18,7 @@ Design notes (why this is not a port):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Optional, Sequence, Union
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -171,6 +171,89 @@ class GaussianDiffusion:
         nonzero = (t != 0).astype(jnp.float32)
         nonzero = nonzero.reshape(nonzero.shape + (1,) * (x.ndim - nonzero.ndim))
         return mean + nonzero * jnp.exp(0.5 * out.log_variance) * noise
+
+    def dpm_solver2m_step(
+        self,
+        out: PMeanVariance,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        t_prev: jnp.ndarray,
+        first: jnp.ndarray,
+        x0_prev: jnp.ndarray,
+        cond_grad: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """DPM-Solver++(2M) multistep update (data prediction, deterministic).
+
+        Beyond the reference (it only has ancestral + DDIM): a second-order
+        solver for the probability-flow ODE reaches a given discretization
+        error in roughly sqrt() the steps of DDIM, so respace budgets like
+        ddim50 land near ddim250 quality. Lu et al. 2022 (DPM-Solver++),
+        eq. (4.2)/(4.3), multistep variant.
+
+        Guidance enters exactly like :meth:`ddim_sample_step`
+        (condition_score, cgd/cgd.py fork semantics): eps' = eps -
+        sqrt(1-abar)*grad, x0 re-predicted from eps'. The update then works
+        entirely in the guided data prediction:
+
+            lam    = log(alpha/sigma)           (half-log-SNR)
+            h      = lam_s - lam_t              (target s = t-1 level)
+            r      = (lam_t - lam_prev) / h
+            D      = (1 + 1/(2r)) x0_t - 1/(2r) x0_prev
+            x_s    = (sigma_s/sigma_t) x_t - alpha_s (e^{-h} - 1) D
+
+        ``first`` (per-step bool/0-1 scalar) selects the first-order update
+        D = x0_t (no previous prediction exists yet); the final step (t==0)
+        also runs first-order — the standard lower_order_final stabilizer
+        for small step budgets. First-order DPM++ is algebraically identical
+        to DDIM eta=0 (pinned by tests/test_dpm.py).
+
+        Returns ``(x_next, x0_guided)``; callers carry ``x0_guided`` as the
+        next step's ``x0_prev``.
+        """
+        c = self.coeffs
+        nd = x.ndim
+        pred_xstart = out.pred_xstart
+        abar_t = _bcast(c.alphas_cumprod, t, nd)
+        if cond_grad is not None:
+            eps = self.predict_eps_from_xstart(x, t, pred_xstart)
+            eps = eps - jnp.sqrt(1.0 - abar_t) * cond_grad.astype(jnp.float32)
+            pred_xstart = self.predict_xstart_from_eps(x, t, eps)
+        x0 = pred_xstart.astype(jnp.float32)
+
+        def lam(abar):
+            # half-log-SNR; the 1-abar clamp only engages at the final
+            # target level (abar_prev[0] == 1), where sigma_s==0 makes the
+            # x_t term vanish and e^{-h} underflow to 0 regardless
+            return 0.5 * (jnp.log(abar) - jnp.log(jnp.maximum(1.0 - abar, 1e-20)))
+
+        abar_s = _bcast(c.alphas_cumprod_prev, t, nd)
+        abar_p = _bcast(c.alphas_cumprod, t_prev, nd)
+        lam_t, lam_s, lam_p = lam(abar_t), lam(abar_s), lam(abar_p)
+        h = lam_s - lam_t
+
+        first = jnp.asarray(first)
+        fo = jnp.logical_or(first.astype(bool), t == 0)  # [B] or scalar
+        fo = fo.reshape(fo.shape + (1,) * (nd - fo.ndim))
+        # r is garbage on first-order steps (t_prev carries no meaning);
+        # keep it finite so the unselected where-branch stays NaN-free
+        r = jnp.where(fo, 1.0, (lam_t - lam_p) / h)
+        # Extrapolation guard: the reference checkpoints' uniform-in-t
+        # respacing grids grow their log-SNR gaps toward t=0 (the last hop
+        # of a 16-step grid spans lam 1.5 -> 4.6 while the previous spans
+        # 0.7), so the raw backward-difference weight h/(2*h_prev) can
+        # exceed 2 and over-extrapolate badly. Clamp it to 0.5 — its exact
+        # value on a uniform-log-SNR grid. Measured on the analytic-score
+        # ODE (tests/test_dpm.py): unclamped is WORSE than DDIM at 16 steps
+        # (0.156 vs 0.086 rms); clamped is 6x better (0.014) and 27x better
+        # at 32 steps, and the clamp never engages on shrinking-gap grids.
+        coef = jnp.minimum(1.0 / (2.0 * r), 0.5)
+        d = jnp.where(fo, x0, (1.0 + coef) * x0 - coef * x0_prev.astype(jnp.float32))
+
+        sigma_t = jnp.sqrt(1.0 - abar_t)
+        sigma_s = jnp.sqrt(jnp.maximum(1.0 - abar_s, 0.0))
+        alpha_s = jnp.sqrt(abar_s)
+        x_next = (sigma_s / sigma_t) * x - alpha_s * jnp.expm1(-h) * d
+        return x_next, x0
 
     def ddim_sample_step(
         self,

@@ -123,6 +123,12 @@ class SamplerConfig:
     # (/root/reference/cgd/cgd.py:260 + p_sample_with_grad). Opt-in;
     # quality should be re-validated with real weights before production use.
     fast_guidance: bool = False
+    # Beyond the reference: DPM-Solver++(2M) second-order multistep update
+    # (gaussian.dpm_solver2m_step) instead of DDIM/ancestral — comparable
+    # sample quality at ~4-5x fewer respaced steps (convergence order pinned
+    # by tests/test_dpm.py against an analytic-score model). Deterministic;
+    # eta/use_ddim are ignored when set. Opt-in (NOT reference semantics).
+    dpm_solver: bool = False
 
 
 def make_guided_step(
@@ -146,7 +152,11 @@ def make_guided_step(
     blend's `fac` lookup (cgd/cgd.py:177 quirk, SURVEY.md §3.1).
     """
 
-    def step(params, x, t, ref_t, y, rng, noise_override=None):
+    def step(params, x, t, ref_t, y, rng, noise_override=None, dpm_state=None):
+        # dpm_state (cfg.dpm_solver only): (x0_prev, t_prev, first) — the
+        # previous step's guided x0 prediction plus the static per-step
+        # schedule context the 2M multistep update needs; the step then
+        # returns the guided x0 as an extra output for the caller to carry.
         r_model, r_noise, r_class, r_guide = jax.random.split(rng, 4)
         if cfg.randomize_class and y is not None:
             y = jax.random.randint(r_class, y.shape, 0, cfg.num_classes)
@@ -186,6 +196,15 @@ def make_guided_step(
             noise = noise_override
         else:
             noise = jax.random.normal(r_noise, x.shape, dtype=jnp.float32)
+        if cfg.dpm_solver:
+            x0_prev, t_prev, first = dpm_state
+            tp_batch = jnp.full((x.shape[0],), t_prev, dtype=jnp.int32)
+            x_next, x0g = diffusion.dpm_solver2m_step(
+                out, x, t_batch, tp_batch, first, x0_prev, grad
+            )
+            if with_log:
+                return x_next, out.pred_xstart, y, x0g, log
+            return x_next, out.pred_xstart, y, x0g
         if cfg.use_ddim:
             x_next = diffusion.ddim_sample_step(out, x, t_batch, noise, grad, eta=cfg.eta)
         else:
@@ -316,6 +335,7 @@ def sample_loop(
     # jit cache keyed by (segment_len, guided, cutn)
     scan_cache = {}
     has_noise = noise_override is not None
+    dpm = cfg.dpm_solver
 
     def seg_inputs(seg: List[StepMeta], seg_start: int):
         ts = jnp.asarray([m.t for m in seg], dtype=jnp.int32)
@@ -329,7 +349,20 @@ def sample_loop(
             )
         else:
             nz = jnp.zeros((len(seg),) + (1,) * len(shape), jnp.float32)  # unused
-        return ts, ref_ts, nz
+        if not dpm:
+            return ts, ref_ts, nz, ()
+        # DPM-Solver++(2M) schedule context: the previous step's t (for the
+        # half-log-SNR ratio r) and a first-order flag on the run's very
+        # first step only — both per-element inputs, NOT static, so segments
+        # of equal (length, guided, cutn) still share one compiled graph
+        tps = jnp.asarray(
+            [plan[max(seg_start + i - 1, 0)].t for i in range(len(seg))],
+            dtype=jnp.int32,
+        )
+        fis = jnp.asarray(
+            [seg_start + i == 0 for i in range(len(seg))], dtype=jnp.bool_
+        )
+        return ts, ref_ts, nz, (tps, fis)
 
     def build_seg_fn(meta: StepMeta):
         guidance = guidance_builder(meta) if meta.guided else None
@@ -341,15 +374,25 @@ def sample_loop(
 
         def scan_fn(params, img_stride):
             def body(carry, per_step):
-                x, y, rng, _last, bufs = carry
-                t, ref_t, nz_k, i = per_step
+                if dpm:
+                    x, x0p, y, rng, _last, bufs = carry
+                    t, ref_t, nz_k, i, tp, fi = per_step
+                else:
+                    x, y, rng, _last, bufs = carry
+                    t, ref_t, nz_k, i = per_step
                 x_noisy = x  # the step's incoming sample (wandb triptych)
                 rng, r = jax.random.split(rng)
                 res = step(
                     params, x, t, ref_t, y, r,
                     noise_override=nz_k if has_noise else None,
+                    dpm_state=(x0p, tp, fi) if dpm else None,
                 )
-                if loss_sink is not None:
+                if dpm:
+                    if loss_sink is not None:
+                        x, pred_x0, y, x0p, log = res
+                    else:
+                        (x, pred_x0, y, x0p), log = res, {}
+                elif loss_sink is not None:
                     x, pred_x0, y, log = res
                 else:
                     (x, pred_x0, y), log = res, {}
@@ -366,12 +409,17 @@ def sample_loop(
                         bp, pred_x0.astype(bp.dtype), slot, 0
                     )
                     bufs = (bn, bp)
-                return (x, y, rng, pred_x0, bufs), {"log": log}
+                carry = (
+                    (x, x0p, y, rng, pred_x0, bufs)
+                    if dpm
+                    else (x, y, rng, pred_x0, bufs)
+                )
+                return carry, {"log": log}
 
             return body
 
         @jax.jit
-        def seg_fn(params, x, y, rng, ts, ref_ts, nz):
+        def seg_fn(params, x, y, rng, ts, ref_ts, nz, *dpm_in):
             seg_len = ts.shape[0]
             if emit_images:
                 stride, n_taps = _img_tap_plan(seg_len, x.shape, x.dtype.itemsize)
@@ -382,24 +430,33 @@ def sample_loop(
             else:
                 stride, bufs = 1, ()
             idx = jnp.arange(seg_len, dtype=jnp.int32)
-            init = (x, y, rng, jnp.zeros_like(x), bufs)
-            (x, y, rng, last_pred, bufs), ys = jax.lax.scan(
-                scan_fn(params, stride), init, (ts, ref_ts, nz, idx)
-            )
+            if dpm:
+                x0p, tps, fis = dpm_in
+                init = (x, x0p, y, rng, jnp.zeros_like(x), bufs)
+                (x, x0p, y, rng, last_pred, bufs), ys = jax.lax.scan(
+                    scan_fn(params, stride), init, (ts, ref_ts, nz, idx, tps, fis)
+                )
+                ys = dict(ys, x0p=x0p)
+            else:
+                init = (x, y, rng, jnp.zeros_like(x), bufs)
+                (x, y, rng, last_pred, bufs), ys = jax.lax.scan(
+                    scan_fn(params, stride), init, (ts, ref_ts, nz, idx)
+                )
             if emit_images:
                 ys = dict(ys, imgs=bufs)
             return x, y, rng, last_pred, ys
 
         return seg_fn
 
-    def run_segment(params, x, y, rng, seg: List[StepMeta], seg_start: int):
+    def run_segment(params, x, y, rng, seg: List[StepMeta], seg_start: int, x0p=None):
         meta_key = (len(seg), seg[0].guided, seg[0].cutn, has_noise)
-        ts, ref_ts, nz = seg_inputs(seg, seg_start)
+        ts, ref_ts, nz, dpm_per = seg_inputs(seg, seg_start)
+        extra = (x0p,) + dpm_per if dpm else ()
         if meta_key not in scan_cache:
             scan_cache[meta_key] = build_seg_fn(seg[0])
         fn = scan_cache[meta_key]
         try:
-            return fn(params, x, y, rng, ts, ref_ts, nz)
+            return fn(params, x, y, rng, ts, ref_ts, nz, *extra)
         except Exception:
             if not isinstance(fn, jax.stages.Compiled):
                 raise
@@ -409,7 +466,7 @@ def sample_loop(
             # on multi-chip meshes), fall back to jit for this signature —
             # it re-specializes transparently like the lazy path always did
             scan_cache[meta_key] = build_seg_fn(seg[0])
-            return scan_cache[meta_key](params, x, y, rng, ts, ref_ts, nz)
+            return scan_cache[meta_key](params, x, y, rng, ts, ref_ts, nz, *extra)
 
     # build the segment list up front (pure python) so per-segment RNG keys
     # can be split in ONE device op — eager splits inside the loop would cost
@@ -463,10 +520,13 @@ def sample_loop(
         lowered = {}
         for mk, (seg, k, r) in distinct.items():
             seg_fn = build_seg_fn(seg[0])
-            ts, ref_ts, nz = seg_inputs(seg, k)
+            ts, ref_ts, nz, dpm_per = seg_inputs(seg, k)
+            extra = (jnp.zeros_like(x),) + dpm_per if dpm else ()
             # tracing/lowering is host-GIL work — serial; .compile() is the
             # remote call that parallelizes
-            lowered[mk] = (seg_fn, seg_fn.lower(params, x, y_ex, r, ts, ref_ts, nz))
+            lowered[mk] = (
+                seg_fn, seg_fn.lower(params, x, y_ex, r, ts, ref_ts, nz, *extra)
+            )
         with ThreadPoolExecutor(max_workers=min(4, len(lowered))) as ex:
             compiled = {
                 mk: fut
@@ -495,12 +555,27 @@ def sample_loop(
         if resume.get("y") is not None:
             y = jnp.asarray(resume["y"], jnp.int32)
 
+    # DPM-Solver++(2M) multistep state: the previous step's guided x0,
+    # chained across segments (zeros before the first step, which runs
+    # first-order anyway); checkpointed alongside x so dpm resumes stay
+    # bit-exact
+    x0p = jnp.zeros(shape, jnp.float32) if dpm else None
+    if resume is not None and dpm:
+        if resume.get("x0p") is None:
+            raise ValueError(
+                "resume checkpoint lacks the dpm_solver x0_prev state — "
+                "was it written by a non-dpm run?"
+            )
+        x0p = jnp.asarray(resume["x0p"], jnp.float32)
+
     for si, ((k, seg), r) in enumerate(zip(segments, seg_keys)):
         if si < start_seg:
             continue  # already completed by the checkpointed run
         # y must be a concrete array for scan carry; use dummy when uncond
         y_in = y if y is not None else jnp.zeros((shape[0],), jnp.int32)
-        x, y_out, _, pred_x0, ys = run_segment(params, x, y_in, r, seg, k)
+        x, y_out, _, pred_x0, ys = run_segment(params, x, y_in, r, seg, k, x0p)
+        if dpm:
+            x0p = ys["x0p"]
         logs = ys.get("log", {})
         if y is not None:
             y = y_out
@@ -519,6 +594,7 @@ def sample_loop(
             state_sink(si + 1, {
                 "x": np.asarray(x),
                 "y": None if y is None else np.asarray(y),
+                "x0p": np.asarray(x0p) if dpm else None,
             })
         last_k = k + len(seg) - 1
         if last_k in save_at:
