@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--clip", default="ViT-B/32")
     ap.add_argument("--fast", action="store_true",
                     help="fast_guidance mode (detached pred_xstart; NOT reference semantics)")
+    ap.add_argument("--dpm", action="store_true",
+                    help="DPM-Solver++(2M) multistep update (2nd order: pair with a small "
+                         "--respace budget like ddim50; beyond reference, NOT reference "
+                         "semantics)")
     ap.add_argument("--stall-timeout", type=float, default=1200.0, metavar="SECONDS",
                     help="exit 117 with a stack dump if no phase completes for this "
                          "long (a hung tunneled backend otherwise blocks forever — "
@@ -97,7 +101,8 @@ def main():
     params = {"unet": unet_params, "clip": clip_params}
     step = make_guided_step(
         diffusion, model_fn, builder(StepMeta(t=0, guided=True, cutn=args.cutn)),
-        SamplerConfig(use_ddim=use_ddim, randomize_class=True, fast_guidance=args.fast),
+        SamplerConfig(use_ddim=use_ddim, randomize_class=True,
+                      fast_guidance=args.fast, dpm_solver=args.dpm),
     )
 
     import numpy as np
@@ -108,17 +113,37 @@ def main():
     ts = np.arange(S - 1, -1, -1, dtype=np.int32)
     ref_ts = np.arange(S - 1, -1, -1, dtype=np.int32)
 
-    @jax.jit
-    def run(params, x, y, key):
-        def body(carry, per):
-            x, y, k = carry
-            t, rt = per
-            k, r = jax.random.split(k)
-            x, _px, y = step(params, x, t, rt, y, r)
-            return (x, y, k), ()
+    if args.dpm:
+        # multistep schedule context: previous step's t + first-step flag
+        tps = np.concatenate([ts[:1], ts[:-1]]).astype(np.int32)
+        fis = np.zeros(S, np.bool_)
+        fis[0] = True
 
-        (x, y, key), _ = jax.lax.scan(body, (x, y, key), (ts, ref_ts))
-        return x
+        @jax.jit
+        def run(params, x, y, key):
+            def body(carry, per):
+                x, x0p, y, k = carry
+                t, rt, tp, fi = per
+                k, r = jax.random.split(k)
+                x, _px, y, x0p = step(params, x, t, rt, y, r,
+                                      dpm_state=(x0p, tp, fi))
+                return (x, x0p, y, k), ()
+
+            init = (x, jnp.zeros_like(x), y, key)
+            (x, _x0p, y, key), _ = jax.lax.scan(body, init, (ts, ref_ts, tps, fis))
+            return x
+    else:
+        @jax.jit
+        def run(params, x, y, key):
+            def body(carry, per):
+                x, y, k = carry
+                t, rt = per
+                k, r = jax.random.split(k)
+                x, _px, y = step(params, x, t, rt, y, r)
+                return (x, y, k), ()
+
+            (x, y, key), _ = jax.lax.scan(body, (x, y, key), (ts, ref_ts))
+            return x
 
     shape = (args.batch, args.size, args.size, 3)
     with jax.default_device(jax.devices("cpu")[0]):
@@ -151,8 +176,9 @@ def main():
         f"{per_image:.2f}s/image")
 
     baseline_target = 15.0  # BASELINE.md: <15s per 256px ddim250 image on v5e
+    tag = "_dpm" if args.dpm else ""
     print(json.dumps({
-        "metric": f"{args.size}px_{args.respace}_guided_wallclock_per_image",
+        "metric": f"{args.size}px_{args.respace}{tag}_guided_wallclock_per_image",
         "value": round(per_image, 3),
         "unit": "seconds",
         "vs_baseline": round(baseline_target / per_image, 3),

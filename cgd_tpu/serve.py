@@ -35,7 +35,7 @@ ALLOWED_KWARGS = {
     "clip_model_name", "randomize_class", "noise_schedule",
     "use_augs", "use_magnitude", "height_offset", "width_offset",
     "reduce_clip", "progressive_cutout", "cached_cutouts",
-    "compute_dtype", "strict_parity", "fast_guidance",
+    "compute_dtype", "strict_parity", "fast_guidance", "dpm_solver",
 }
 
 

@@ -204,6 +204,21 @@ class TestCLI:
             pngs += [f for f in files if f.endswith(".png")]
         assert sorted(pngs) == ["0000.png", "0005.png", "0009.png"]
 
+    def test_dpm_solver_flag_e2e(self, tmp_path):
+        # --dpm-solver rides the whole CLI path: multistep x0_prev carry
+        # through segment chaining, save cadence, frame writing
+        from cgd_tpu.cli import main
+
+        main([
+            "-txts", "tiny smoke", "-size", "64", "-respace", "ddim10",
+            "-cutn", "2", "-freq", "5", "--weights-mode", "random",
+            "-dir", str(tmp_path / "o"), "-q", "-seed", "3", "--dpm-solver",
+        ])
+        pngs = []
+        for root, _, files in os.walk(tmp_path / "o"):
+            pngs += [f for f in files if f.endswith(".png")]
+        assert sorted(pngs) == ["0000.png", "0005.png", "0009.png"]
+
     @pytest.mark.slow
     def test_reduce_clip_flag(self, tmp_path):
         from cgd_tpu.cli import main
