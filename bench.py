@@ -49,14 +49,36 @@ def main():
                          "device->host fetch 2-6 min. 0 disables")
     args = ap.parse_args()
 
-    from cgd_tpu.utils.compile_cache import enable_compile_cache
     from cgd_tpu.utils.watchdog import StallDetector
 
     # The 2026-08-17 tunnel outage hung even jax.devices() at backend init
     # with no error; the watchdog turns that into exit 117 + thread stacks
     # so the bench driver sees a diagnosable failure instead of a stall.
+    # try/finally (not bare __enter__): an exception anywhere in the bench
+    # body must disarm the exit-on-stall daemon thread, or exit 117 could
+    # fire mid post-mortem in this same process (ADVICE r3).
     dog = StallDetector(args.stall_timeout, exit_on_stall=True)
     dog.__enter__()
+    try:
+        per_image, S, dt = _bench_body(args, dog)
+    finally:
+        dog.__exit__(None, None, None)  # timing done; don't watch JSON printing
+
+    log(f"steady-state (min of 3): {dt:.2f}s total, {S / dt:.2f} guided steps/s, "
+        f"{per_image:.2f}s/image")
+
+    baseline_target = 15.0  # BASELINE.md: <15s per 256px ddim250 image on v5e
+    tag = "_dpm" if args.dpm else ""
+    print(json.dumps({
+        "metric": f"{args.size}px_{args.respace}{tag}_guided_wallclock_per_image",
+        "value": round(per_image, 3),
+        "unit": "seconds",
+        "vs_baseline": round(baseline_target / per_image, 3),
+    }))
+
+
+def _bench_body(args, dog):
+    from cgd_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
 
@@ -169,20 +191,9 @@ def main():
         _ = float(jnp.mean(out))
         times.append(time.time() - t0)
         log(f"run {i}: {times[-1]:.2f}s")
-    dog.__exit__(None, None, None)  # timing done; don't watch JSON printing
     dt = min(times)
     per_image = dt / args.batch
-    log(f"steady-state (min of 3): {dt:.2f}s total, {S / dt:.2f} guided steps/s, "
-        f"{per_image:.2f}s/image")
-
-    baseline_target = 15.0  # BASELINE.md: <15s per 256px ddim250 image on v5e
-    tag = "_dpm" if args.dpm else ""
-    print(json.dumps({
-        "metric": f"{args.size}px_{args.respace}{tag}_guided_wallclock_per_image",
-        "value": round(per_image, 3),
-        "unit": "seconds",
-        "vs_baseline": round(baseline_target / per_image, 3),
-    }))
+    return per_image, S, dt
 
 
 if __name__ == "__main__":

@@ -203,8 +203,14 @@ class GaussianDiffusion:
 
         ``first`` (per-step bool/0-1 scalar) selects the first-order update
         D = x0_t (no previous prediction exists yet); the final step (t==0)
-        also runs first-order — the standard lower_order_final stabilizer
-        for small step budgets. First-order DPM++ is algebraically identical
+        also runs first-order — the standard lower_order_final stabilizer.
+        Deliberate deviation from the standard formulation (ADVICE r3):
+        upstream DPM-Solver++ gates lower_order_final on small budgets
+        (num_steps < 15); here it applies at EVERY budget so the scanned
+        step stays shape/branch-static under jit. Cost: one second-order
+        step becomes first-order at large budgets — O(h^2) on the final
+        (smallest-h) hop, negligible, and strictly on the stable side.
+        First-order DPM++ is algebraically identical
         to DDIM eta=0 (pinned by tests/test_dpm.py).
 
         Returns ``(x_next, x0_guided)``; callers carry ``x0_guided`` as the

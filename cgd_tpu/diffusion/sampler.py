@@ -567,6 +567,16 @@ def sample_loop(
                 "was it written by a non-dpm run?"
             )
         x0p = jnp.asarray(resume["x0p"], jnp.float32)
+    elif resume is not None and resume.get("x0p") is not None:
+        # symmetric guard (ADVICE r3): a dpm checkpoint resumed into a
+        # non-dpm loop would silently continue with different dynamics.
+        # The api layer already refuses via run_meta; protect direct
+        # sample_loop callers too.
+        raise ValueError(
+            "resume checkpoint carries dpm_solver x0_prev state but "
+            "cfg.dpm_solver is False — resuming would silently change "
+            "the sampling dynamics"
+        )
 
     for si, ((k, seg), r) in enumerate(zip(segments, seg_keys)):
         if si < start_seg:

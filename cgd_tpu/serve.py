@@ -44,6 +44,7 @@ def _generate(payload: dict, weights_mode: str, stall_pet=None):
     caller owns the scratch dir and removes it once the frame is read —
     a long-running daemon must not accumulate per-request temp trees."""
     from cgd_tpu.api import clip_guided_diffusion
+    from cgd_tpu.validate import FINAL_FRAME_ONLY
 
     prompt = payload.get("prompt", "")
     if not prompt:
@@ -55,7 +56,7 @@ def _generate(payload: dict, weights_mode: str, stall_pet=None):
         gen = clip_guided_diffusion(
             prompts=prompt.split("|"),
             prefix_path=out_dir,
-            save_frequency=payload.get("save_frequency", 10**9),  # final frame only
+            save_frequency=payload.get("save_frequency", FINAL_FRAME_ONLY),
             progress=False,
             weights_mode=weights_mode,
             stall_pet=stall_pet,

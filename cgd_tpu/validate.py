@@ -16,6 +16,11 @@ from cgd_tpu.registry import (
     TIMESTEP_RESPACINGS,
 )
 
+# save_frequency values at or above this mean "save only the final frame",
+# on purpose (used by serve.py's /generate default) — skip the
+# exceeds-respacing warning for them.
+FINAL_FRAME_ONLY = 10**9
+
 
 def check_parameters(
     prompts: List[str],
@@ -45,7 +50,11 @@ def check_parameters(
         )
     if save_frequency <= 0:
         raise ValueError("--save_frequency must be greater than 0")
-    if save_frequency > respace_steps:
+    if save_frequency >= FINAL_FRAME_ONLY:
+        # deliberate final-frame-only sentinel (serve.py's default): not a
+        # misconfiguration, don't warn the daemon log on every request
+        pass
+    elif save_frequency > respace_steps:
         # softer than the reference's (dead-code) check: a large
         # save_frequency legitimately means "save only first + final frame"
         print(

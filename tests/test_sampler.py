@@ -287,3 +287,12 @@ class TestCheckpointResume:
     def test_resume_rejects_out_of_range_segment(self):
         with pytest.raises(ValueError, match="outside this plan"):
             self._run(resume={"next_seg": 99, "x": np.zeros((1, 16, 16, 3)), "y": None})
+
+    def test_resume_rejects_dpm_state_in_non_dpm_loop(self):
+        """Symmetric guard (ADVICE r3): a dpm checkpoint's x0_prev must not
+        silently resume under non-dpm dynamics in direct sample_loop calls."""
+        with pytest.raises(ValueError, match="dpm_solver is False"):
+            self._run(resume={
+                "next_seg": 1, "x": np.zeros((1, 16, 16, 3)), "y": None,
+                "x0p": np.zeros((1, 16, 16, 3)),
+            })

@@ -38,6 +38,17 @@ class TestCheckParameters:
         # > respacing is a soft warning (means: save first + final only)
         check_parameters(**self.good(save_frequency=300, timestep_respacing="ddim250"))
 
+    def test_final_frame_sentinel_does_not_warn(self, capsys):
+        """serve.py's final-frame-only default must not spam the daemon log
+        with the exceeds-respacing warning on every request (VERDICT r3)."""
+        from cgd_tpu.validate import FINAL_FRAME_ONLY
+
+        check_parameters(**self.good(save_frequency=FINAL_FRAME_ONLY))
+        assert "save_frequency" not in capsys.readouterr().out
+        # an ordinary too-large value still warns
+        check_parameters(**self.good(save_frequency=300))
+        assert "save_frequency" in capsys.readouterr().out
+
     def test_comma_section_respacing_accepted(self):
         # "a,b,c" section specs are valid per space_timesteps; total = sum
         check_parameters(**self.good(timestep_respacing="25,25", save_frequency=50))
