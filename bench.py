@@ -60,7 +60,7 @@ def main():
     dog = StallDetector(args.stall_timeout, exit_on_stall=True)
     dog.__enter__()
     try:
-        per_image, S, dt = _bench_body(args, dog)
+        per_image, S, dt, flops_step = _bench_body(args, dog)
     finally:
         dog.__exit__(None, None, None)  # timing done; don't watch JSON printing
 
@@ -69,12 +69,26 @@ def main():
 
     baseline_target = 15.0  # BASELINE.md: <15s per 256px ddim250 image on v5e
     tag = "_dpm" if args.dpm else ""
-    print(json.dumps({
+    record = {
         "metric": f"{args.size}px_{args.respace}{tag}_guided_wallclock_per_image",
         "value": round(per_image, 3),
         "unit": "seconds",
         "vs_baseline": round(baseline_target / per_image, 3),
-    }))
+    }
+    if flops_step is not None:
+        # MFU against the chip's bf16 dense peak (VERDICT r3 #5): achieved =
+        # XLA-cost-model FLOPs of one optimized guided step * S steps / wall
+        # time. See PERF.md 'MFU' for the derivation and what it does/doesn't
+        # include (memory-bound ops count 0 FLOPs but still take time — this
+        # is the standard MFU convention).
+        record["flops_per_step"] = flops_step
+        peak = _bf16_peak_flops()
+        if peak is not None:
+            mfu = flops_step * S / dt / peak
+            record["mfu"] = round(mfu, 4)
+            log(f"MFU: {mfu:.3f} ({flops_step * S / dt / 1e12:.1f} TF/s achieved "
+                f"vs {peak / 1e12:.0f} TF/s bf16 peak)")
+    print(json.dumps(record))
 
 
 def _bench_body(args, dog):
@@ -193,7 +207,62 @@ def _bench_body(args, dog):
         log(f"run {i}: {times[-1]:.2f}s")
     dt = min(times)
     per_image = dt / args.batch
-    return per_image, S, dt
+
+    dog.pet("cost analysis (single-step lowering)")
+    flops_step = _guided_step_flops(step, params, x0, y0, args.dpm)
+    return per_image, S, dt, flops_step
+
+
+def _guided_step_flops(step, params, x0, y0, dpm):
+    """FLOPs of ONE guided step from XLA's own cost model (HloCostAnalysis
+    via Compiled.cost_analysis) — the honest 'analytic' count: it sees the
+    exact optimized HLO that runs (UNet fwd + p_mean_variance + the guidance
+    backward through CLIP+cutouts[+UNet] + the sampler update), after fusion
+    and DCE. Derivation + v5e roofline context in PERF.md ('MFU' section).
+
+    Analyzing a single step rather than the scanned loop is deliberate:
+    HloCostAnalysis does NOT multiply a while-loop body by its trip count,
+    so the loop-level number would be meaningless. The loop is S identical
+    steps (one guidance phase in bench.py), so step_flops * S is exact.
+    Returns None when the backend can't produce a cost analysis."""
+    def one_step(params, x, y, key):
+        if dpm:
+            r = step(params, x, jnp.int32(1), jnp.int32(1), y, key,
+                     dpm_state=(jnp.zeros_like(x), jnp.int32(2),
+                                jnp.asarray(False)))
+        else:
+            r = step(params, x, jnp.int32(1), jnp.int32(1), y, key)
+        return r[0]
+
+    try:
+        compiled = jax.jit(one_step).lower(params, x0, y0, jax.random.PRNGKey(9)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older JAX returned [dict]
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception as e:
+        log(f"cost_analysis unavailable on this backend ({type(e).__name__}: {e})")
+        return None
+
+
+# bf16 dense peak FLOP/s by TPU generation (public spec sheets); substring
+# match against jax device_kind. MFU is only emitted when the kind is known.
+_TPU_BF16_PEAK = {
+    "v6": 918e12,   # Trillium / v6e
+    "v5p": 459e12,
+    "v5e": 197e12,  # device_kind "TPU v5e" / "TPU v5 lite"
+    "v5 lite": 197e12,
+    "v4": 275e12,
+}
+
+
+def _bf16_peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _TPU_BF16_PEAK.items():
+        if key in kind:
+            return peak
+    return None
 
 
 if __name__ == "__main__":

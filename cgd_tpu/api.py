@@ -415,6 +415,35 @@ def clip_guided_diffusion(
     def model_fn(params, x, t_model, r, y):
         return apply_unet(params["unet"], unet_cfg, x, t_model, y, compute_dtype=cdtype)
 
+    if mesh is not None:
+        # Multi-chip layout (reachable from the CLI/serve `--mesh` flag, not
+        # only the Python API): batch over 'data', UNet activations
+        # height-split over 'cut' (sequence/spatial parallelism — the
+        # partitioner inserts ppermute halo exchanges for the 3x3 convs),
+        # cutout batch over every device with the guidance gradient
+        # all-reduced back (guidance/pipeline.py). Validated collective set:
+        # tools/mesh_audit.py + tests/test_parallel.py.
+        data_size = mesh.shape.get("data", 1)
+        if batch_size % data_size != 0:
+            raise ValueError(
+                f"batch_size {batch_size} is not divisible by the mesh "
+                f"'data' axis ({data_size}) — use --mesh data=N with "
+                "N dividing the batch, or --mesh auto/cut=M for batch 1"
+            )
+        if num_cutouts % mesh.size != 0:
+            say(
+                f"(warning) num_cutouts {num_cutouts} is not divisible by "
+                f"the {mesh.size}-device mesh; cutout shards will be uneven"
+            )
+        say(f"Mesh engaged: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        from cgd_tpu.parallel.mesh import spatial_sharding
+
+        _unsharded_model_fn = model_fn
+
+        def model_fn(params, x, t_model, r, y):
+            x = jax.lax.with_sharding_constraint(x, spatial_sharding(mesh))
+            return _unsharded_model_fn(params, x, t_model, r, y)
+
     if image_size >= 512:
         # the guidance gradient backprops through the UNet; at 512px the
         # saved activations approach HBM limits with large CLIP towers —
@@ -433,12 +462,14 @@ def clip_guided_diffusion(
         clip_compute_dtype=compute_dtype,
     )
     conv_route = None  # no override: env flags / platform defaults apply
+    x_shard = None
     if mesh is not None:
-        from cgd_tpu.parallel.mesh import shard_params_replicated
+        from cgd_tpu.parallel.mesh import batch_sharding
 
-        unet_params = shard_params_replicated(unet_params, mesh)
-        clip_params = shard_params_replicated(clip_params, mesh)
         conv_route = _mesh_conv_route(mesh)
+        # the carried sample enters the scan batch-sharded over 'data' and
+        # replicated over 'cut' (model_fn re-constrains height per step)
+        x_shard = batch_sharding(mesh)
 
     use_init_loss = init_tensor is not None and init_scale != 0
 
@@ -516,6 +547,12 @@ def clip_guided_diffusion(
     if use_init_loss:
         params["lpips"] = lpips_params
         params["init_image"] = init_tensor
+    if mesh is not None:
+        # replicate the FULL weight pytree (incl. lpips/init when present —
+        # a mixed single-device/mesh input set is a jit error)
+        from cgd_tpu.parallel.mesh import shard_params_replicated
+
+        params = shard_params_replicated(params, mesh)
 
     sampler_cfg = SamplerConfig(
         use_ddim=timestep_respacing.startswith("ddim"),
@@ -558,17 +595,21 @@ def clip_guided_diffusion(
         "seed": seed, "shape": list(shape),
         "timestep_respacing": timestep_respacing,
         "diffusion_steps": diffusion_steps, "noise_schedule": noise_schedule,
-        "skip_timesteps": skip_timesteps, "num_cutouts": num_cutouts,
-        "save_frequency": save_frequency, "reduce_clip": reduce_clip,
+        "skip_timesteps": int(skip_timesteps), "num_cutouts": int(num_cutouts),
+        "save_frequency": int(save_frequency), "reduce_clip": reduce_clip,
         "progressive_cutout": progressive_cutout,
         "fast_guidance": fast_guidance, "dpm_solver": dpm_solver,
         "class_cond": class_cond,
         "randomize_class": randomize_class, "strict_parity": strict_parity,
         "prompts": list(prompts), "image_prompts": list(image_prompts),
         "clip_model_name": clip_model_name,
-        "clip_guidance_scale": clip_guidance_scale, "tv_scale": tv_scale,
-        "range_scale": range_scale, "sat_scale": sat_scale,
-        "init_scale": init_scale, "cutout_power": cutout_power,
+        # numeric knobs normalized to float: the API's int defaults (50)
+        # and the CLI's argparse floats (50.0) must hash to the SAME meta,
+        # or an API-written checkpoint can't resume through the CLI
+        "clip_guidance_scale": float(clip_guidance_scale),
+        "tv_scale": float(tv_scale),
+        "range_scale": float(range_scale), "sat_scale": float(sat_scale),
+        "init_scale": float(init_scale), "cutout_power": float(cutout_power),
         "use_augs": use_augs, "use_magnitude": use_magnitude,
         "cached_cutouts": cached_cutouts, "compute_dtype": compute_dtype,
     }, sort_keys=True)
@@ -643,6 +684,7 @@ def clip_guided_diffusion(
             image_sink=image_sink,
             state_sink=state_sink,
             resume=resume_state,
+            x_sharding=x_shard,
         )
         while True:
             with conv_routing(conv_route):

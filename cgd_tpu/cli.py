@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-framework extras ---
     p.add_argument("--weights-mode", default="auto", choices=["auto", "random"],
                    help="'auto' downloads+converts checkpoints; 'random' uses random init (dev/bench)")
+    p.add_argument("--mesh", default=None, type=str, metavar="SPEC",
+                   help="shard the run across every visible TPU chip: 'auto' "
+                        "(all devices; no-op on one device), 'data=N' (N-way "
+                        "batch parallelism, the rest shard cutouts + UNet "
+                        "height), 'cut=M', or 'data=N,cut=M'. Weights are "
+                        "replicated; the guidance gradient is all-reduced "
+                        "over ICI (see cgd_tpu/parallel/mesh.py)")
     p.add_argument("--compute-dtype", default="bfloat16", choices=["bfloat16", "float32"],
                    help="activation dtype on the MXU")
     p.add_argument("--profile", default=None, type=str,
@@ -125,6 +132,14 @@ def main(argv=None):
     image_prompts = args.image_prompts.split("|") if len(args.image_prompts) > 0 else []
 
     from cgd_tpu.api import clip_guided_diffusion
+
+    mesh = None
+    if args.mesh:
+        from cgd_tpu.parallel.mesh import mesh_from_spec
+
+        mesh = mesh_from_spec(args.mesh)
+        if mesh is None and not args.quiet:
+            print("--mesh auto: one device visible; running single-chip")
 
     profile_ctx = None
     if args.profile:
@@ -179,6 +194,7 @@ def main(argv=None):
         cached_cutouts=args.cached_cutouts,
         weights_mode=args.weights_mode,
         compute_dtype=args.compute_dtype,
+        mesh=mesh,
         async_frames=True,  # CLI reads frames only after the loop (ffmpeg)
         log_losses=args.log_losses,
         strict_parity=args.strict_parity,

@@ -257,6 +257,11 @@ def sample_loop(
     image_sink: Optional[Callable[[list, "np.ndarray", "np.ndarray"], None]] = None,
     state_sink: Optional[Callable[[int, dict], None]] = None,
     resume: Optional[dict] = None,
+    x_sharding=None,  # jax.sharding.Sharding for the carried sample (mesh
+    # runs: batch over 'data', replicated over 'cut' — api.py threads
+    # parallel.mesh.batch_sharding here). Applied to the initial x and to
+    # resumed state so the scan's carry enters with the intended layout
+    # instead of committed to one device.
 ) -> Iterator[Tuple[int, jnp.ndarray]]:
     """Run the full guided sampling schedule, yielding (consumed_step_index,
     pred_xstart, x_t) at the reference's save points: every ``save_frequency``
@@ -319,6 +324,8 @@ def sample_loop(
     elif init_image is not None:
         t0 = jnp.full((shape[0],), plan[0].t, dtype=jnp.int32)
         x = diffusion.q_sample(init_image, t0, x)
+    if x_sharding is not None:
+        x = jax.device_put(x, x_sharding)
 
     y = y_init
 
@@ -552,6 +559,8 @@ def sample_loop(
                 f"{len(segments)} segments — different run configuration?"
             )
         x = jnp.asarray(resume["x"], jnp.float32)
+        if x_sharding is not None:
+            x = jax.device_put(x, x_sharding)
         if resume.get("y") is not None:
             y = jnp.asarray(resume["y"], jnp.int32)
 
@@ -567,6 +576,8 @@ def sample_loop(
                 "was it written by a non-dpm run?"
             )
         x0p = jnp.asarray(resume["x0p"], jnp.float32)
+    if dpm and x_sharding is not None:
+        x0p = jax.device_put(x0p, x_sharding)
     elif resume is not None and resume.get("x0p") is not None:
         # symmetric guard (ADVICE r3): a dpm checkpoint resumed into a
         # non-dpm loop would silently continue with different dynamics.

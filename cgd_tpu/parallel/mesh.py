@@ -39,6 +39,53 @@ def make_mesh(
     return Mesh(arr, ("data", "cut"))
 
 
+def mesh_from_spec(spec: Optional[str], devices: Optional[Sequence] = None) -> Optional[Mesh]:
+    """Build a mesh from a CLI-style spec string (the `--mesh` flag on the
+    CLI and serve daemon — the product surface for multi-chip runs; the
+    reference's CLI is its product surface, cgd/cgd.py:286-434, so ours must
+    reach the mesh too).
+
+    Grammar:
+      None / ""        -> None (single-device run)
+      "auto"           -> all visible devices, data=1 (cutouts + UNet height
+                          sharded over every chip); None if only one device
+      "data=N"         -> N-way batch data parallelism; the remaining factor
+                          of the device count shards cutouts/height
+      "cut=M"          -> data=1 over the first M devices
+      "data=N,cut=M"   -> explicit axis sizes over the first N*M devices
+    """
+    if not spec:
+        return None
+    devices = list(devices if devices is not None else jax.devices())
+    if spec == "auto":
+        return make_mesh(devices, data=1) if len(devices) > 1 else None
+    sizes = {}
+    for part in spec.split(","):
+        key, _, val = part.partition("=")
+        key, val = key.strip(), val.strip()
+        if key not in ("data", "cut") or not val.isdigit() or int(val) < 1:
+            raise ValueError(
+                f"bad --mesh spec {spec!r}: expected 'auto', 'data=N', "
+                "'cut=M', or 'data=N,cut=M'"
+            )
+        sizes[key] = int(val)
+    data = sizes.get("data", 1)
+    if "cut" in sizes:
+        need = data * sizes["cut"]
+        if need > len(devices):
+            raise ValueError(
+                f"--mesh {spec!r} needs {need} devices but only "
+                f"{len(devices)} are visible"
+            )
+        devices = devices[:need]
+    elif len(devices) % data != 0:
+        raise ValueError(
+            f"--mesh {spec!r}: device count {len(devices)} is not divisible "
+            f"by data={data}"
+        )
+    return make_mesh(devices, data=data)
+
+
 def cutout_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for the [K*B, cut, cut, C] cutout batch: split the leading
     axis over every mesh device (data axis included — cutouts of different

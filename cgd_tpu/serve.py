@@ -39,7 +39,7 @@ ALLOWED_KWARGS = {
 }
 
 
-def _generate(payload: dict, weights_mode: str, stall_pet=None):
+def _generate(payload: dict, weights_mode: str, stall_pet=None, mesh=None):
     """Run one generation; returns (final_frame_path, scratch_dir). The
     caller owns the scratch dir and removes it once the frame is read —
     a long-running daemon must not accumulate per-request temp trees."""
@@ -60,6 +60,7 @@ def _generate(payload: dict, weights_mode: str, stall_pet=None):
             progress=False,
             weights_mode=weights_mode,
             stall_pet=stall_pet,
+            mesh=mesh,
             **kwargs,
         )
         for _b, path in gen:
@@ -75,6 +76,7 @@ def _generate(payload: dict, weights_mode: str, stall_pet=None):
 class Handler(BaseHTTPRequestHandler):
     weights_mode = "auto"
     stall_timeout = 0.0  # seconds; armed per in-flight request (idle is not a stall)
+    mesh = None  # jax.sharding.Mesh built from --mesh; shared by all requests
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -108,7 +110,9 @@ class Handler(BaseHTTPRequestHandler):
                 from cgd_tpu.utils.watchdog import StallDetector
 
                 with StallDetector(self.stall_timeout, exit_on_stall=True) as dog:
-                    frame, scratch = _generate(payload, self.weights_mode, stall_pet=dog.pet)
+                    frame, scratch = _generate(
+                        payload, self.weights_mode, stall_pet=dog.pet, mesh=self.mesh
+                    )
             try:
                 if frame is None:
                     raise RuntimeError("no frame produced")
@@ -139,9 +143,20 @@ def main(argv=None):
                     help="exit 117 (for supervisor restart) if an in-flight request "
                          "makes no progress for SECONDS; set above worst-case compile. "
                          "0 disables")
+    ap.add_argument("--mesh", default=None, type=str, metavar="SPEC",
+                    help="shard every generation across the visible TPU chips: "
+                         "'auto', 'data=N', 'cut=M', or 'data=N,cut=M' "
+                         "(same grammar as the cgd CLI)")
     args = ap.parse_args(argv)
     Handler.weights_mode = args.weights_mode
     Handler.stall_timeout = args.stall_timeout
+    if args.mesh:
+        from cgd_tpu.parallel.mesh import mesh_from_spec
+
+        Handler.mesh = mesh_from_spec(args.mesh)
+        if Handler.mesh is not None:
+            shape = dict(zip(Handler.mesh.axis_names, Handler.mesh.devices.shape))
+            print(f"serving with mesh {shape}")
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     print(f"cgd-tpu serving on http://{args.host}:{args.port} (weights={args.weights_mode})")
     server.serve_forever()

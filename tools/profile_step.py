@@ -24,7 +24,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_step(size, cutn, clip_name="ViT-B/32"):
+def build_step(size, cutn, clip_name="ViT-B/32", remat=None):
     from cgd_tpu.diffusion import make_diffusion
     from cgd_tpu.diffusion.sampler import SamplerConfig, StepMeta, make_guided_step
     from cgd_tpu.guidance.pipeline import GuidanceSettings, make_guidance_builder
@@ -43,6 +43,13 @@ def build_step(size, cutn, clip_name="ViT-B/32"):
 
     def model_fn(params, x, t_model, rng, y):
         return apply_unet(params["unet"], unet_cfg, x, t_model, y, compute_dtype=jnp.bfloat16)
+
+    if remat is None:
+        remat = size >= 512  # match the product graph (api.py wraps the
+        # UNet in jax.checkpoint at >=512px to fit the guidance backward)
+    if remat:
+        model_fn = jax.checkpoint(model_fn, static_argnums=())
+        log(f"UNet rematerialization ON (product graph at {size}px)")
 
     builder = make_guidance_builder(clip_cfg, target, weights, diffusion, GuidanceSettings())
     step = make_guided_step(

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Pre-warm the persistent XLA compile cache for standard operating points.
+
+A fresh serving host's first request pays the full cold compile (measured
+~4.5 min for the 256px ddim250 guided graphs on the tunneled v5e backend —
+PERF.md cold-start section). This tool runs the REAL generator once per
+requested config with random weights so every segment graph lands in the
+persistent cache (utils/compile_cache.py); later processes start warm.
+
+Weights are jit *arguments* in this framework (never closure constants —
+CLAUDE.md trap #2), so the compiled HLO — and therefore the cache key — is
+identical between random and converted weights of the same architecture:
+warming with random weights needs no network and no checkpoints.
+
+Usage:
+    python tools/warm_cache.py                         # 256px ddim250 cutn16
+    python tools/warm_cache.py --spec 512:1000 --spec 64:ddim25:8
+    python tools/warm_cache.py --save-frequency serve  # serve.py's
+        final-frame-only segmentation (default 25 = the API default; the
+        segment LENGTHS are part of the compiled graphs, so warm with the
+        save_frequency your deployment will use: CLI default is 1,
+        serve.py saves only the final frame)
+
+Each --spec is SIZE:RESPACE[:CUTN] (cutn defaults to 16, the reference
+default operating point).
+"""
+
+import argparse
+import sys
+import tempfile
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def parse_spec(spec: str):
+    parts = spec.split(":")
+    if len(parts) not in (2, 3):
+        raise SystemExit(f"bad --spec {spec!r}: expected SIZE:RESPACE[:CUTN]")
+    size = int(parts[0])
+    respace = parts[1]
+    cutn = int(parts[2]) if len(parts) == 3 else 16
+    return size, respace, cutn
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--spec", action="append", default=None, metavar="SIZE:RESPACE[:CUTN]",
+                    help="operating point(s) to warm; repeatable. "
+                         "Default: 256:ddim250:16 (the headline)")
+    ap.add_argument("--save-frequency", default="25",
+                    help="'serve' for serve.py's final-frame-only segmentation, "
+                         "or an integer (CLI default is 1; API default 25)")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--clip", default="ViT-B/32")
+    ap.add_argument("--uncond", action="store_true",
+                    help="warm the unconditional checkpoints' graphs instead")
+    args = ap.parse_args()
+
+    specs = [parse_spec(s) for s in (args.spec or ["256:ddim250:16"])]
+    if args.save_frequency == "serve":
+        from cgd_tpu.validate import FINAL_FRAME_ONLY
+
+        save_frequency = FINAL_FRAME_ONLY
+    else:
+        save_frequency = int(args.save_frequency)
+
+    from cgd_tpu.api import clip_guided_diffusion
+    from cgd_tpu.utils.compile_cache import CACHE_DIR, enable_compile_cache
+
+    enable_compile_cache()
+    log(f"persistent cache: {CACHE_DIR}")
+
+    for size, respace, cutn in specs:
+        t0 = time.time()
+        log(f"warming {size}px {respace} cutn={cutn} batch={args.batch} "
+            f"save_frequency={save_frequency} ...")
+        with tempfile.TemporaryDirectory() as td:
+            gen = clip_guided_diffusion(
+                prompts=["cache warmup"],
+                image_size=size,
+                timestep_respacing=respace,
+                num_cutouts=cutn,
+                batch_size=args.batch,
+                class_cond=not args.uncond,
+                clip_model_name=args.clip,
+                save_frequency=save_frequency,
+                weights_mode="random",
+                prefix_path=td,
+                progress=False,
+            )
+            n = sum(1 for _ in gen)
+        log(f"  done in {time.time() - t0:.1f}s ({n} frame yields; graphs cached)")
+
+    log("cache warm. Subsequent processes compile from cache "
+        "(measured 64px: 296s -> 57s; see PERF.md cold-start).")
+
+
+if __name__ == "__main__":
+    main()
