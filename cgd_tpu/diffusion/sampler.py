@@ -558,6 +558,20 @@ def sample_loop(
                 f"resume next_seg={start_seg} outside this plan's "
                 f"{len(segments)} segments — different run configuration?"
             )
+        if start_seg == len(segments):
+            # the checkpoint was written after the final segment: the run it
+            # belongs to already completed, so there is nothing left to
+            # replay and the generator will yield no frames. Loud, not
+            # silent — an empty output directory looks like a bug otherwise.
+            import warnings
+
+            warnings.warn(
+                "resume checkpoint marks the run complete (next_seg == "
+                f"{len(segments)}); nothing to resume — no frames will be "
+                "written. The finished frames are in the original run's "
+                "output directory.",
+                stacklevel=2,
+            )
         x = jnp.asarray(resume["x"], jnp.float32)
         if x_sharding is not None:
             x = jax.device_put(x, x_sharding)
@@ -576,8 +590,9 @@ def sample_loop(
                 "was it written by a non-dpm run?"
             )
         x0p = jnp.asarray(resume["x0p"], jnp.float32)
-    if dpm and x_sharding is not None:
-        x0p = jax.device_put(x0p, x_sharding)
+    if dpm:
+        if x_sharding is not None:
+            x0p = jax.device_put(x0p, x_sharding)
     elif resume is not None and resume.get("x0p") is not None:
         # symmetric guard (ADVICE r3): a dpm checkpoint resumed into a
         # non-dpm loop would silently continue with different dynamics.
