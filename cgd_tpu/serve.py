@@ -147,6 +147,14 @@ def main(argv=None):
                     help="shard every generation across the visible TPU chips: "
                          "'auto', 'data=N', 'cut=M', or 'data=N,cut=M' "
                          "(same grammar as the cgd CLI)")
+    ap.add_argument("--warmup", action="append", default=None,
+                    metavar="SIZE:RESPACE[:CUTN]",
+                    help="compile these operating points into the persistent "
+                         "XLA cache BEFORE binding the port (repeatable; "
+                         "'default' = 256:ddim250:16). Uses the daemon's own "
+                         "final-frame-only segmentation so the first real "
+                         "request is a cache hit, not a ~4.5 min cold compile "
+                         "(PERF.md cold-start)")
     args = ap.parse_args(argv)
     Handler.weights_mode = args.weights_mode
     Handler.stall_timeout = args.stall_timeout
@@ -157,6 +165,18 @@ def main(argv=None):
         if Handler.mesh is not None:
             shape = dict(zip(Handler.mesh.axis_names, Handler.mesh.devices.shape))
             print(f"serving with mesh {shape}")
+    if args.warmup:
+        from cgd_tpu.utils.compile_cache import enable_compile_cache
+        from cgd_tpu.validate import FINAL_FRAME_ONLY
+        from cgd_tpu.warmup import parse_spec, warm_operating_points
+
+        enable_compile_cache()
+        specs = [parse_spec("256:ddim250:16" if s == "default" else s)
+                 for s in args.warmup]
+        # serve requests default to FINAL_FRAME_ONLY segmentation — warm the
+        # graphs the daemon will actually run (segment lengths are part of
+        # the compiled HLO)
+        warm_operating_points(specs, FINAL_FRAME_ONLY, mesh=Handler.mesh)
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     print(f"cgd-tpu serving on http://{args.host}:{args.port} (weights={args.weights_mode})")
     server.serve_forever()

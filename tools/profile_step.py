@@ -64,6 +64,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--cutn", type=int, default=16)
+    ap.add_argument("--clip", default="ViT-B/32",
+                    help="CLIP release (512px product config pairs with RN50x16)")
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--top", type=int, default=45)
     ap.add_argument("--trace-dir", default="/tmp/cgd_profile")
@@ -72,7 +74,7 @@ def main():
     from cgd_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
-    step, params = build_step(args.size, args.cutn)
+    step, params = build_step(args.size, args.cutn, clip_name=args.clip)
 
     @jax.jit
     def one(params, x, y, key):

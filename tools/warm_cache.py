@@ -27,22 +27,10 @@ default operating point).
 
 import argparse
 import sys
-import tempfile
-import time
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
-
-
-def parse_spec(spec: str):
-    parts = spec.split(":")
-    if len(parts) not in (2, 3):
-        raise SystemExit(f"bad --spec {spec!r}: expected SIZE:RESPACE[:CUTN]")
-    size = int(parts[0])
-    respace = parts[1]
-    cutn = int(parts[2]) if len(parts) == 3 else 16
-    return size, respace, cutn
 
 
 def main():
@@ -59,6 +47,8 @@ def main():
                     help="warm the unconditional checkpoints' graphs instead")
     args = ap.parse_args()
 
+    from cgd_tpu.warmup import parse_spec, warm_operating_points
+
     specs = [parse_spec(s) for s in (args.spec or ["256:ddim250:16"])]
     if args.save_frequency == "serve":
         from cgd_tpu.validate import FINAL_FRAME_ONLY
@@ -67,35 +57,17 @@ def main():
     else:
         save_frequency = int(args.save_frequency)
 
-    from cgd_tpu.api import clip_guided_diffusion
     from cgd_tpu.utils.compile_cache import CACHE_DIR, enable_compile_cache
 
     enable_compile_cache()
     log(f"persistent cache: {CACHE_DIR}")
 
-    for size, respace, cutn in specs:
-        t0 = time.time()
-        log(f"warming {size}px {respace} cutn={cutn} batch={args.batch} "
-            f"save_frequency={save_frequency} ...")
-        with tempfile.TemporaryDirectory() as td:
-            gen = clip_guided_diffusion(
-                prompts=["cache warmup"],
-                image_size=size,
-                timestep_respacing=respace,
-                num_cutouts=cutn,
-                batch_size=args.batch,
-                class_cond=not args.uncond,
-                clip_model_name=args.clip,
-                save_frequency=save_frequency,
-                weights_mode="random",
-                prefix_path=td,
-                progress=False,
-            )
-            n = sum(1 for _ in gen)
-        log(f"  done in {time.time() - t0:.1f}s ({n} frame yields; graphs cached)")
-
+    warm_operating_points(
+        specs, save_frequency, batch_size=args.batch,
+        clip_model_name=args.clip, class_cond=not args.uncond, log=log,
+    )
     log("cache warm. Subsequent processes compile from cache "
-        "(measured 64px: 296s -> 57s; see PERF.md cold-start).")
+        "(measured numbers: PERF.md cold-start section).")
 
 
 if __name__ == "__main__":
