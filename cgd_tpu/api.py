@@ -155,6 +155,27 @@ def _image_prompt_encoder(clip_cfg, strict_parity: bool):
 
 
 @functools.lru_cache(maxsize=1)
+def _resolve_remat(image_size: int, batch_size: int, num_cutouts: int) -> bool:
+    """Should the UNet forward rematerialize under the guidance gradient?
+
+    No-remat is 21% faster at the 512px product operating point (b=1,
+    cutn<=16, RN50x16): the whole-UNet `jax.checkpoint` re-runs every
+    forward conv during the backward (the r4 512px profile showed exact
+    jvp/remat twin pairs — 158.4 -> 125.1 ms/step without them), and the
+    saved activations fit comfortably at b=1 (memory A/B in PERF.md).
+    Larger batches/cutout counts at >=512px keep the conservative remat:
+    activation memory scales linearly with both and only b=1 x cutn16 is
+    measured safe. <512px never remats (unchanged r2 behavior).
+
+    `CGD_TPU_REMAT=0/1` forces either mode; the resolved decision is part
+    of `run_meta`, so a checkpoint/resume pair always replays with the
+    same graph (bit-exact continuation)."""
+    env = os.environ.get("CGD_TPU_REMAT", "").strip()
+    if env in ("0", "1"):
+        return env == "1"
+    return image_size >= 512 and (batch_size > 1 or num_cutouts > 16)
+
+
 def _host_callbacks_supported() -> bool:
     """Some tunneled PJRT backends (axon) reject host send/recv callbacks;
     probe once so --log-losses degrades instead of crashing the sampler."""
@@ -444,10 +465,11 @@ def clip_guided_diffusion(
             x = jax.lax.with_sharding_constraint(x, spatial_sharding(mesh))
             return _unsharded_model_fn(params, x, t_model, r, y)
 
-    if image_size >= 512:
-        # the guidance gradient backprops through the UNet; at 512px the
-        # saved activations approach HBM limits with large CLIP towers —
-        # rematerialize the UNet forward instead (FLOPs for memory)
+    use_remat = _resolve_remat(image_size, batch_size, num_cutouts)
+    if use_remat:
+        # the guidance gradient backprops through the UNet; rematerialize
+        # the forward (FLOPs for memory) only when the saved activations
+        # would approach HBM limits — see _resolve_remat
         model_fn = jax.checkpoint(model_fn, static_argnums=())
 
     settings = GuidanceSettings(
@@ -612,6 +634,10 @@ def clip_guided_diffusion(
         "init_scale": float(init_scale), "cutout_power": float(cutout_power),
         "use_augs": use_augs, "use_magnitude": use_magnitude,
         "cached_cutouts": cached_cutouts, "compute_dtype": compute_dtype,
+        # the remat decision changes the compiled graph (and, through XLA
+        # rescheduling, the last bf16 ulp) — a resume must replay with the
+        # graph the checkpoint was written under
+        "unet_remat": use_remat,
     }, sort_keys=True)
     state_sink = resume_state = None
     if resume_from:

@@ -134,6 +134,21 @@ class Handler(BaseHTTPRequestHandler):
             self.wfile.write(body)
 
 
+def run_warmup(specs_args, mesh=None):
+    """--warmup: compile the given operating points into the persistent XLA
+    cache before the daemon binds its port. Uses the daemon's own
+    FINAL_FRAME_ONLY segmentation — segment lengths are part of the compiled
+    HLO, so warming with a different save_frequency would miss."""
+    from cgd_tpu.utils.compile_cache import enable_compile_cache
+    from cgd_tpu.validate import FINAL_FRAME_ONLY
+    from cgd_tpu.warmup import parse_spec, warm_operating_points
+
+    enable_compile_cache()
+    specs = [parse_spec("256:ddim250:16" if s == "default" else s)
+             for s in specs_args]
+    warm_operating_points(specs, FINAL_FRAME_ONLY, mesh=mesh)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8080)
@@ -166,17 +181,7 @@ def main(argv=None):
             shape = dict(zip(Handler.mesh.axis_names, Handler.mesh.devices.shape))
             print(f"serving with mesh {shape}")
     if args.warmup:
-        from cgd_tpu.utils.compile_cache import enable_compile_cache
-        from cgd_tpu.validate import FINAL_FRAME_ONLY
-        from cgd_tpu.warmup import parse_spec, warm_operating_points
-
-        enable_compile_cache()
-        specs = [parse_spec("256:ddim250:16" if s == "default" else s)
-                 for s in args.warmup]
-        # serve requests default to FINAL_FRAME_ONLY segmentation — warm the
-        # graphs the daemon will actually run (segment lengths are part of
-        # the compiled HLO)
-        warm_operating_points(specs, FINAL_FRAME_ONLY, mesh=Handler.mesh)
+        run_warmup(args.warmup, mesh=Handler.mesh)
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     print(f"cgd-tpu serving on http://{args.host}:{args.port} (weights={args.weights_mode})")
     server.serve_forever()

@@ -604,3 +604,37 @@ class TestCheckpointResumeAPI:
         )
         with pytest.raises(ValueError, match="different run configuration"):
             next(gen)
+
+
+class TestRematGate:
+    """api._resolve_remat — no-remat is 21% faster at the 512px product
+    point and fits HBM at b=1/cutn16 (PERF.md r4 512px profile); bigger
+    batches/cutout counts keep the conservative remat."""
+
+    def test_auto_rule(self, monkeypatch):
+        from cgd_tpu.api import _resolve_remat
+
+        monkeypatch.delenv("CGD_TPU_REMAT", raising=False)
+        assert not _resolve_remat(256, 1, 16)   # <512px never remats
+        assert not _resolve_remat(512, 1, 16)   # measured-safe envelope
+        assert _resolve_remat(512, 2, 16)       # batch doubles activations
+        assert _resolve_remat(512, 1, 32)       # so does the cutout batch
+        assert not _resolve_remat(256, 4, 64)   # still <512px
+
+    def test_env_override(self, monkeypatch):
+        from cgd_tpu.api import _resolve_remat
+
+        monkeypatch.setenv("CGD_TPU_REMAT", "1")
+        assert _resolve_remat(64, 1, 2)
+        monkeypatch.setenv("CGD_TPU_REMAT", "0")
+        assert not _resolve_remat(512, 8, 64)
+
+    def test_remat_decision_is_in_run_meta(self, monkeypatch, tmp_path):
+        """A checkpoint written under one remat decision must not resume
+        under another (the graph — and the last bf16 ulp — differs)."""
+        import inspect
+
+        from cgd_tpu import api
+
+        src = inspect.getsource(api.clip_guided_diffusion)
+        assert '"unet_remat": use_remat' in src

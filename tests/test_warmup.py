@@ -24,6 +24,24 @@ class TestParseSpec:
             parse_spec(bad)
 
 
+class TestServeWarmup:
+    @pytest.mark.slow
+    def test_serve_warmup_resolves_default_and_runs(self, monkeypatch, tmp_path):
+        """serve --warmup maps 'default' to the 256px headline spec and
+        warms with the daemon's final-frame-only segmentation. Driven with a
+        tiny spec so it actually executes."""
+        monkeypatch.setenv("CGD_TPU_DEBUG_TINY", "1")
+        monkeypatch.chdir(tmp_path)
+        from cgd_tpu import serve
+
+        serve.run_warmup(["64:ddim5:2"])  # returns without raising
+
+    def test_default_spec_mapping(self):
+        from cgd_tpu.warmup import parse_spec
+
+        assert parse_spec("256:ddim250:16") == (256, "ddim250", 16)
+
+
 class TestWarm:
     @pytest.mark.slow
     def test_warm_runs_real_generator(self, monkeypatch, tmp_path):

@@ -45,8 +45,11 @@ def build_step(size, cutn, clip_name="ViT-B/32", remat=None):
         return apply_unet(params["unet"], unet_cfg, x, t_model, y, compute_dtype=jnp.bfloat16)
 
     if remat is None:
-        remat = size >= 512  # match the product graph (api.py wraps the
-        # UNet in jax.checkpoint at >=512px to fit the guidance backward)
+        # match the product graph (api._resolve_remat: b=1 here, so remat
+        # only engages at >=512px with cutn>16)
+        from cgd_tpu.api import _resolve_remat
+
+        remat = _resolve_remat(size, 1, cutn)
     if remat:
         model_fn = jax.checkpoint(model_fn, static_argnums=())
         log(f"UNet rematerialization ON (product graph at {size}px)")
@@ -66,6 +69,9 @@ def main():
     ap.add_argument("--cutn", type=int, default=16)
     ap.add_argument("--clip", default="ViT-B/32",
                     help="CLIP release (512px product config pairs with RN50x16)")
+    ap.add_argument("--remat", choices=["auto", "on", "off"], default="auto",
+                    help="UNet rematerialization under the guidance gradient "
+                         "(auto = the product gate: on at >=512px)")
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--top", type=int, default=45)
     ap.add_argument("--trace-dir", default="/tmp/cgd_profile")
@@ -74,7 +80,8 @@ def main():
     from cgd_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
-    step, params = build_step(args.size, args.cutn, clip_name=args.clip)
+    remat = None if args.remat == "auto" else (args.remat == "on")
+    step, params = build_step(args.size, args.cutn, clip_name=args.clip, remat=remat)
 
     @jax.jit
     def one(params, x, y, key):

@@ -29,6 +29,11 @@ def categorize(name: str) -> str:
     n = name.lower()
     if "pallas" in n or "conv3x3" in n or "custom-call" in n and "mosaic" in n:
         return "pallas"
+    if "custom-call" in n:
+        # optimized-HLO names lose the pallas marker; the conv kernels are
+        # recognizable by their HWIO [3,3,Cin,...] weight operand (512px
+        # profile: these were 73 ms/step of 'other' before this rule)
+        return "pallas" if "[3,3," in n else "custom-call"
     for key in ("fusion", "copy", "convolution", "reshape", "transpose",
                 "pad", "slice", "dot", "dynamic-update", "scatter", "gather",
                 "reduce", "bitcast", "broadcast", "select", "iota", "rng",
