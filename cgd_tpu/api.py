@@ -165,7 +165,10 @@ def _resolve_remat(image_size: int, batch_size: int, num_cutouts: int) -> bool:
     saved activations fit comfortably at b=1 (memory A/B in PERF.md).
     Larger batches/cutout counts at >=512px keep the conservative remat:
     activation memory scales linearly with both and only b=1 x cutn16 is
-    measured safe. <512px never remats (unchanged r2 behavior).
+    measured safe — b=2 no-remat FITS statically (10.35 GiB temp of 16 GiB)
+    but measured a pathological 20 s/step on the tunneled v5e (~60x;
+    suspected HBM-pressure buffer paging), so "fits" is not "fast": the
+    envelope is measured, not derived. <512px never remats (r2 behavior).
 
     `CGD_TPU_REMAT=0/1` forces either mode; the resolved decision is part
     of `run_meta`, so a checkpoint/resume pair always replays with the

@@ -638,3 +638,35 @@ class TestRematGate:
 
         src = inspect.getsource(api.clip_guided_diffusion)
         assert '"unet_remat": use_remat' in src
+
+
+class TestRematNumerics:
+    @pytest.mark.slow
+    def test_remat_on_off_agree(self, tmp_path, monkeypatch):
+        """jax.checkpoint must not change the sampled image beyond fusion
+        rounding: the remat gate (api._resolve_remat) flips the graph per
+        operating point, so both variants must produce the same trajectory.
+        Exact equality is not promised (XLA reschedules fusions); the
+        final frames must agree to float32-accumulation tolerance."""
+        from PIL import Image
+
+        from cgd_tpu.api import clip_guided_diffusion
+
+        frames = {}
+        for force in ("0", "1"):
+            monkeypatch.setenv("CGD_TPU_REMAT", force)
+            gen = clip_guided_diffusion(
+                prompts=["remat parity"],
+                image_size=64,
+                timestep_respacing="ddim6",
+                num_cutouts=2,
+                save_frequency=6,
+                weights_mode="random",
+                prefix_path=tmp_path / f"out{force}",
+                progress=False,
+                seed=11,
+            )
+            last = list(gen)[-1][1]
+            frames[force] = np.asarray(Image.open(last), dtype=np.float32)
+        diff = np.abs(frames["0"] - frames["1"])
+        assert diff.max() <= 2.0, f"remat changed pixels by {diff.max()} (uint8 scale)"
