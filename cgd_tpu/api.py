@@ -154,7 +154,6 @@ def _image_prompt_encoder(clip_cfg, strict_parity: bool):
     return jax.jit(encode)
 
 
-@functools.lru_cache(maxsize=1)
 def _resolve_remat(image_size: int, batch_size: int, num_cutouts: int) -> bool:
     """Should the UNet forward rematerialize under the guidance gradient?
 
@@ -179,6 +178,7 @@ def _resolve_remat(image_size: int, batch_size: int, num_cutouts: int) -> bool:
     return image_size >= 512 and (batch_size > 1 or num_cutouts > 16)
 
 
+@functools.lru_cache(maxsize=1)
 def _host_callbacks_supported() -> bool:
     """Some tunneled PJRT backends (axon) reject host send/recv callbacks;
     probe once so --log-losses degrades instead of crashing the sampler."""
@@ -646,6 +646,18 @@ def clip_guided_diffusion(
     if resume_from:
         rec = np.load(resume_from)
         saved_meta = str(rec["meta"])
+        if saved_meta != run_meta:
+            # checkpoints written before the remat decision joined run_meta
+            # (r4) lack the key; their graphs used the old size>=512 rule, so
+            # a missing key is equivalent to that value — fill and recompare
+            # rather than refusing every pre-r4 checkpoint
+            try:
+                saved_d = _json.loads(saved_meta)
+                if "unet_remat" not in saved_d:
+                    saved_d["unet_remat"] = image_size >= 512
+                    saved_meta = _json.dumps(saved_d, sort_keys=True)
+            except ValueError:
+                pass
         if saved_meta != run_meta:
             raise ValueError(
                 "resume_from checkpoint was written by a different run "

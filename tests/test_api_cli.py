@@ -605,6 +605,39 @@ class TestCheckpointResumeAPI:
         with pytest.raises(ValueError, match="different run configuration"):
             next(gen)
 
+    @pytest.mark.slow
+    def test_resume_accepts_pre_r4_meta_without_unet_remat(self, tmp_path):
+        """Checkpoints written before the remat decision joined run_meta lack
+        the "unet_remat" key; for <512px graphs (old rule: remat only at
+        >=512px) they are still bit-compatible and must resume rather than
+        be refused (r4 advisor, low)."""
+        import json
+
+        from cgd_tpu.api import clip_guided_diffusion
+
+        common = dict(
+            prompts=["legacy resume"], image_size=64,
+            timestep_respacing="ddim6", num_cutouts=2, save_frequency=3,
+            weights_mode="random", progress=False, seed=7,
+        )
+        ck = str(tmp_path / "state.npz")
+        gen = clip_guided_diffusion(
+            **common, prefix_path=tmp_path / "part", checkpoint_path=ck
+        )
+        next(gen)
+        gen.close()
+
+        rec = dict(np.load(ck).items())
+        meta = json.loads(str(rec["meta"]))
+        assert meta.pop("unet_remat") is False  # 64px: no remat either rule
+        rec["meta"] = json.dumps(meta, sort_keys=True)
+        np.savez(ck, **rec)
+
+        resumed = list(clip_guided_diffusion(
+            **common, prefix_path=tmp_path / "res", resume_from=ck
+        ))
+        assert resumed  # legacy checkpoint accepted and run completed
+
 
 class TestRematGate:
     """api._resolve_remat — no-remat is 21% faster at the 512px product
@@ -628,6 +661,20 @@ class TestRematGate:
         assert _resolve_remat(64, 1, 2)
         monkeypatch.setenv("CGD_TPU_REMAT", "0")
         assert not _resolve_remat(512, 8, 64)
+
+    def test_env_flip_same_args_takes_effect(self, monkeypatch):
+        """Regression (r4 advisor, high): an lru_cache on _resolve_remat made
+        a mid-process CGD_TPU_REMAT flip silently reuse the first decision
+        for identical (size, batch, cutn) — the env must be re-read every
+        call so back-to-back same-shape runs honor the override."""
+        from cgd_tpu.api import _resolve_remat
+
+        monkeypatch.setenv("CGD_TPU_REMAT", "0")
+        assert not _resolve_remat(64, 1, 2)
+        monkeypatch.setenv("CGD_TPU_REMAT", "1")
+        assert _resolve_remat(64, 1, 2)
+        monkeypatch.delenv("CGD_TPU_REMAT")
+        assert not _resolve_remat(64, 1, 2)
 
     def test_remat_decision_is_in_run_meta(self, monkeypatch, tmp_path):
         """A checkpoint written under one remat decision must not resume

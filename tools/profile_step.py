@@ -46,7 +46,8 @@ def build_step(size, cutn, clip_name="ViT-B/32", remat=None):
 
     if remat is None:
         # match the product graph (api._resolve_remat: b=1 here, so remat
-        # only engages at >=512px with cutn>16)
+        # only engages at >=512px with cutn>16 — the 512px b=1 default
+        # profiles the no-remat graph)
         from cgd_tpu.api import _resolve_remat
 
         remat = _resolve_remat(size, 1, cutn)
@@ -71,7 +72,9 @@ def main():
                     help="CLIP release (512px product config pairs with RN50x16)")
     ap.add_argument("--remat", choices=["auto", "on", "off"], default="auto",
                     help="UNet rematerialization under the guidance gradient "
-                         "(auto = the product gate: on at >=512px)")
+                         "(auto = the product gate, api._resolve_remat: on only "
+                         "at >=512px AND batch>1 or cutn>16 — off at the "
+                         "512px b=1 default)")
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--top", type=int, default=45)
     ap.add_argument("--trace-dir", default="/tmp/cgd_profile")

@@ -31,9 +31,16 @@ def categorize(name: str) -> str:
         return "pallas"
     if "custom-call" in n:
         # optimized-HLO names lose the pallas marker; the conv kernels are
-        # recognizable by their HWIO [3,3,Cin,...] weight operand (512px
-        # profile: these were 73 ms/step of 'other' before this rule)
-        return "pallas" if "[3,3," in n else "custom-call"
+        # recognizable by a full 4-d HWIO [3,3,Cin,Cout] weight operand
+        # together with the jvp/conv naming XLA gives their fwd/transpose
+        # computations (512px profile: 73 ms/step of 'other' before this
+        # rule). The bare "[3,3," substring alone also matches unrelated
+        # custom-calls whose first operand merely starts with that shape.
+        import re
+
+        if re.search(r"\[3,3,\d+,\d+\]", n) and ("jvp" in n or "conv" in n):
+            return "pallas"
+        return "custom-call"
     for key in ("fusion", "copy", "convolution", "reshape", "transpose",
                 "pad", "slice", "dot", "dynamic-update", "scatter", "gather",
                 "reduce", "bitcast", "broadcast", "select", "iota", "rng",
