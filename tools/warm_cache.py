@@ -57,10 +57,10 @@ def main():
     else:
         save_frequency = int(args.save_frequency)
 
-    from cgd_tpu.utils.compile_cache import CACHE_DIR, enable_compile_cache
+    from cgd_tpu.utils.compile_cache import cache_dir, enable_compile_cache
 
     enable_compile_cache()
-    log(f"persistent cache: {CACHE_DIR}")
+    log(f"persistent cache: {cache_dir()}")
 
     warm_operating_points(
         specs, save_frequency, batch_size=args.batch,
