@@ -1,42 +1,68 @@
 #!/usr/bin/env python
-"""Offline guided-quality proxy for the beyond-reference samplers (VERDICT r3 #2).
+"""Offline guided-quality proxy for the beyond-reference samplers and the
+reference's advertised perf flags (VERDICT r3 #2, r4 #3).
 
 Real checkpoints are unreachable here (zero egress), so the quality claims
-behind `--dpm-solver` ("ddim50 budgets near ddim250 quality") and
-`--fast-guidance` ("quality differs; re-validate") need an offline,
-quantitative stand-in. This harness builds a GUIDED toy system where
-everything is analytic except the solver under test, then drives it through
-the REAL product machinery (diffusion.sampler.make_guided_step — the same
-condition_score path, the same fast_guidance detach, the same DPM-Solver++
-update the CLI uses):
+behind `--dpm-solver` ("ddim50 budgets near ddim250 quality"),
+`--fast-guidance` ("quality differs; re-validate"), and the reference's three
+advertised speed/quality tradeoff flags (`--reduce-clip`,
+`--progressive-cutout`, `--cached-cutouts`; /root/reference/README.md:149-169
+sells them as "speed up generation by 10-30 seconds" with minimal quality
+cost) need an offline, quantitative stand-in. This harness builds a GUIDED
+toy system where everything is analytic except the element under test, then
+drives it through the REAL product machinery — `diffusion.sampler.sample_loop`
+itself: the same build_step_plan (reduce-clip gating, progressive cutn
+phases, the ref_t bookkeeping quirk), the same condition_score path, the
+same fast_guidance detach, the same DPM-Solver++(2M) update the CLI uses.
 
 - analytic diffusion model: x0 ~ N(MU, S2·I) admits the exact eps-prediction
   in closed form (same construction as tests/test_dpm.py), so there is no
-  network-approximation error — every deviation is solver error;
-- toy "CLIP" guidance with a known optimum: a fixed random linear projection
-  P plays the CLIP image tower; the loss is the real pipeline's geometry —
-  spherical distance between the L2-normalized projection of the blended
-  x_in (pred_xstart·fac + x·(1−fac), the cond_fn blend, cgd/cgd.py:177-179)
-  and a unit target embedding, scaled by a guidance weight.
+  network-approximation error — every deviation is solver/schedule error;
+- toy "CLIP": a tiny fixed-random NONLINEAR conv tower (two stride-2 3x3
+  convs with tanh, global mean pool, linear head, L2-normalize) standing in
+  for the CLIP image encoder. The r4 proxy used a *linear* projection, whose
+  convex loss landscape cannot exhibit the multimodal behavior that makes
+  real CLIP guidance hard (r4 verdict, weak #3); tanh saturation + the
+  normalization sphere make this loss genuinely nonconvex in x while the
+  data score stays analytic. The loss is the real pipeline's geometry:
+  spherical distance of the normalized embedding of the blended x_in
+  (pred_xstart·fac + x·(1−fac), the cond_fn blend, cgd/cgd.py:177-179)
+  against a unit target.
 
-Ground truth = the reference-semantics guided probability-flow ODE (full
-gradient THROUGH the model, DDIM eta=0) at 1000 steps. Each arm starts from
-identical noise; the guided ODE is deterministic, so the truth endpoint is
-well-defined per seed.
+Two experiments:
 
-Metrics per arm (mean over a batch of seeds):
-- rms_vs_truth : RMS distance of the final sample to the truth endpoint —
-  discretization error of the same dynamics (meaningful for ddim/dpm, which
-  solve the SAME ODE at different budgets; fast_guidance solves a different
-  guided dynamics, so its number measures the semantic gap, not just
-  discretization);
-- clip_objective: the toy-CLIP spherical distance at the final sample — did
+1. SOLVER table (compute_table): whole-image embedding, deterministic
+   dynamics, ground truth = the reference-semantics guided probability-flow
+   ODE (full gradient THROUGH the model, DDIM eta=0) at 1000 steps. Arms:
+   ddim250 / ddim50 / dpm@50 / dpm@25 / fast@250 / fast@50. Metrics vs the
+   per-seed truth endpoint.
+
+2. PERF-FLAG table (compute_flag_table): the guidance embeds REAL cutouts
+   (guidance/cutouts.py: the box-filter-matmul MakeCutouts replacement) of
+   x_in, cutout coordinates drawn per step from a key folded with the
+   step's ref_t — so every arm at the same respacing sees the SAME coords
+   at the same step and the dynamics stay deterministic. `--cached-cutouts`
+   reuses one fixed coord set for all steps (exactly what the reference's
+   cache_coordinates does, cgd/modules.py:26-36); `--reduce-clip` gates
+   guidance through the real build_step_plan schedule AND applies the
+   reference's skip_timesteps = 0.2·T (cgd/cgd.py:141-144);
+   `--progressive-cutout` takes its per-phase cutn from the real plan.
+   Baseline = ddim250, all flags off, full cutn. Metrics are measured
+   against the BASELINE endpoint (the flags promise "nearly the same image
+   for less compute", so distance-to-default IS the advertised contract),
+   plus absolute guidance-objective / prior-fit readings.
+
+Metrics:
+- rms_vs_truth / rms_vs_baseline: RMS distance of the final sample to the
+  reference endpoint of the experiment;
+- clip_objective: the toy-CLIP spherical distance at the final sample (flag
+  table: mean over a FIXED eval cutout set shared by all arms) — did
   guidance reach its optimum;
-- prior_fit    : mean squared Mahalanobis deviation under the data prior
+- prior_fit: mean squared Mahalanobis deviation under the data prior
   N(MU, S2) — a realism proxy (guidance overdriving the prior shows up
   here).
 
-Run:  python tools/guided_quality_proxy.py        # prints the PERF.md table
+Run:  python tools/guided_quality_proxy.py        # prints both PERF.md tables
 Used by tests/test_guided_quality.py to pin the headline claims.
 """
 
@@ -52,15 +78,66 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MU, S2 = 0.3, 0.25
 STEPS = 1000
-SHAPE = (4, 8, 8, 3)  # 4 independent noise seeds
+SHAPE = (4, 16, 16, 3)  # 4 independent noise seeds
 CGS = 40.0  # strong enough that guidance visibly moves the endpoint
+CUT_SIZE = 8
+NUM_CUTOUTS = 16  # reference default; progressive phases 4 -> 8 -> 16
+COORD_SEED = 123
+EVAL_SEED = 999
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _build_system():
+# ---------------------------------------------------------------------------
+# toy nonlinear CLIP tower (fixed random weights, fully convolutional)
+# ---------------------------------------------------------------------------
+
+
+def _build_tower():
+    """Fixed random conv/tanh tower: [N,H,W,3] -> L2-normalized [N,16].
+    Fully convolutional + global mean pool, so the same weights embed both
+    full images (solver table) and 8x8 cutouts (flag table)."""
+    rs = np.random.RandomState(11)
+    w1 = (rs.randn(3, 3, 3, 16) / np.sqrt(27.0)).astype(np.float32)
+    w2 = (rs.randn(3, 3, 16, 32) / np.sqrt(144.0)).astype(np.float32)
+    wh = (rs.randn(32, 16) / np.sqrt(32.0)).astype(np.float32)
+    target = rs.randn(16).astype(np.float32)
+    target /= np.linalg.norm(target)
+
+    def embed(x):
+        import jax
+        import jax.numpy as jnp
+
+        h = jax.lax.conv_general_dilated(
+            x, jnp.asarray(w1), (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        h = jnp.tanh(h)
+        h = jax.lax.conv_general_dilated(
+            h, jnp.asarray(w2), (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        h = jnp.tanh(h)
+        h = h.mean(axis=(1, 2))  # global mean pool -> [N, 32]
+        emb = h @ jnp.asarray(wh)
+        return emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8
+        )
+
+    return embed, target
+
+
+def _spherical(emb, target):
+    import jax.numpy as jnp
+
+    return jnp.square(2.0 * jnp.arcsin(
+        jnp.clip(jnp.linalg.norm(emb - jnp.asarray(target), axis=-1) / 2.0, 0.0, 1.0)
+    ))
+
+
+def _build_model_fn():
     import jax.numpy as jnp
 
     from cgd_tpu.diffusion import make_diffusion
@@ -75,14 +152,16 @@ def _build_system():
         post = ((1.0 - a) * MU + jnp.sqrt(a) * S2 * x) / ((1.0 - a) + a * S2)
         return (x - jnp.sqrt(a) * post) / jnp.sqrt(jnp.maximum(1.0 - a, 1e-12))
 
-    rs = np.random.RandomState(11)
-    proj = (rs.randn(*SHAPE[1:], 16) / np.sqrt(np.prod(SHAPE[1:]))).astype(np.float32)
-    target = rs.randn(16).astype(np.float32)
-    target /= np.linalg.norm(target)
-    return model_fn, proj, target
+    return model_fn
 
 
-def _make_builder(diffusion, proj, target):
+# ---------------------------------------------------------------------------
+# guidance builders (real GuidanceFns contracts)
+# ---------------------------------------------------------------------------
+
+
+def _make_solver_builder(diffusion, embed, target):
+    """Whole-image toy-CLIP loss (solver table: deterministic, no cutouts)."""
     import jax.numpy as jnp
 
     from cgd_tpu.diffusion.sampler import GuidanceFns
@@ -93,99 +172,122 @@ def _make_builder(diffusion, proj, target):
         def loss_fn(params, rng, x, out, ref_t):
             fac = jnp.asarray(sqrt_om)[ref_t]
             x_in = out.pred_xstart * fac + x * (1.0 - fac)
-            emb = jnp.einsum("bhwc,hwcd->bd", x_in, jnp.asarray(proj))
-            emb = emb / jnp.maximum(
-                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8
-            )
-            # spherical_dist_loss geometry (guidance/losses.py)
-            dist = jnp.square(2.0 * jnp.arcsin(
-                jnp.linalg.norm(emb - jnp.asarray(target), axis=-1) / 2.0
-            ))
-            return CGS * dist.sum()
+            return CGS * _spherical(embed(x_in), target).sum()
 
         return GuidanceFns(loss_fn, lambda g: g)
 
     return builder
 
 
-def _run_arm(n_steps: int, mode: str, model_fn, proj, target, x_start):
-    """mode: 'ddim' | 'dpm' | 'fast' (fast = detached guidance over ddim)."""
+def _make_flag_builder(diffusion, embed, target, cached_cutouts: bool):
+    """Cutout-based toy-CLIP loss (flag table): meta.cutn REAL cutouts of
+    x_in, coords keyed on ref_t (fresh per step) or constant (cached)."""
     import jax
     import jax.numpy as jnp
 
+    from cgd_tpu.diffusion.sampler import GuidanceFns
+    from cgd_tpu.guidance.cutouts import make_cutouts, sample_cutout_coords
+
+    sqrt_om = np.asarray(diffusion.sqrt_one_minus_alphas_cumprod)
+    side = SHAPE[1]
+
+    def builder(meta):
+        def loss_fn(params, rng, x, out, ref_t):
+            fac = jnp.asarray(sqrt_om)[ref_t]
+            x_in = out.pred_xstart * fac + x * (1.0 - fac)
+            # deterministic coord stream: same coords at the same step in
+            # every arm (rng from the sampler differs per arm/budget and
+            # would confound the comparison)
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(COORD_SEED),
+                jnp.int32(0) if cached_cutouts else ref_t,
+            )
+            spec = sample_cutout_coords(key, meta.cutn, side, side, CUT_SIZE)
+            cuts = make_cutouts(x_in, spec, CUT_SIZE)  # [cutn*B, 8, 8, 3]
+            dists = _spherical(embed(cuts), target)
+            return CGS * dists.mean() * SHAPE[0]
+
+        return GuidanceFns(loss_fn, lambda g: g)
+
+    return builder
+
+
+# ---------------------------------------------------------------------------
+# arms, driven through the REAL sample_loop
+# ---------------------------------------------------------------------------
+
+
+def _run_arm(
+    n_steps: int,
+    mode: str,
+    model_fn,
+    builder_for,
+    x_start,
+    *,
+    reduce_clip: bool = False,
+    progressive_cutout: bool = False,
+    cached_cutouts: bool = False,
+    num_cutouts: int = 1,
+):
+    """mode: 'ddim' | 'dpm' | 'fast'. Returns the final sample [B,H,W,C]."""
+    import jax
+
     from cgd_tpu.diffusion import make_diffusion
-    from cgd_tpu.diffusion.sampler import SamplerConfig, StepMeta, make_guided_step
+    from cgd_tpu.diffusion.sampler import SamplerConfig, sample_loop
 
     d = make_diffusion(STEPS, "linear", f"ddim{n_steps}", learn_sigma=False)
-    builder = _make_builder(d, proj, target)
     cfg = SamplerConfig(
         use_ddim=True,
         fast_guidance=(mode == "fast"),
         dpm_solver=(mode == "dpm"),
     )
-    step = make_guided_step(d, model_fn, builder(StepMeta(0, True, 1)), cfg)
-
-    S = d.num_timesteps
-    ts = np.arange(S - 1, -1, -1, dtype=np.int32)
-    ref_ts = ts.copy()  # skip=0: reference bookkeeping == true t indices
-    zeros_noise = None  # eta=0 / dpm: deterministic
-
-    @jax.jit
-    def run(x):
-        if mode == "dpm":
-            tps = np.concatenate([ts[:1], ts[:-1]]).astype(np.int32)
-            fis = np.zeros(S, np.bool_)
-            fis[0] = True
-
-            def body(carry, per):
-                x, x0p = carry
-                t, rt, tp, fi = per
-                x, _p, _y, x0p = step(
-                    {}, x, t, rt, None, jax.random.PRNGKey(0),
-                    dpm_state=(x0p, tp, fi),
-                )
-                return (x, x0p), ()
-
-            (x, _), _ = jax.lax.scan(
-                body, (x, jnp.zeros_like(x)), (ts, ref_ts, tps, fis)
-            )
-            return x
-
-        def body(x, per):
-            t, rt = per
-            x, _p, _y = step({}, x, t, rt, None, jax.random.PRNGKey(0))
-            return x, ()
-
-        x, _ = jax.lax.scan(body, x, (ts, ref_ts))
-        return x
-
-    return np.asarray(run(x_start))
+    skip = d.num_timesteps // 5 if reduce_clip else 0  # cgd/cgd.py:141-144
+    final = None
+    for _k, _pred, x in sample_loop(
+        d,
+        model_fn,
+        builder_for(d, cached_cutouts),
+        {},
+        SHAPE,
+        jax.random.PRNGKey(0),
+        cfg,
+        skip_timesteps=skip,
+        reduce_clip=reduce_clip,
+        progressive_cutout=progressive_cutout,
+        num_cutouts=num_cutouts,
+        save_frequency=10**9,
+        init_noise=np.asarray(x_start),
+    ):
+        final = x
+    return np.asarray(final)
 
 
-def _metrics(final: np.ndarray, truth: np.ndarray, proj, target) -> Dict[str, float]:
-    emb = np.einsum("bhwc,hwcd->bd", final, proj)
-    emb = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
-    dist = np.square(2.0 * np.arcsin(
-        np.clip(np.linalg.norm(emb - target, axis=-1) / 2.0, 0.0, 1.0)
-    ))
+def _metrics(final, ref_endpoint, objective) -> Dict[str, float]:
     return {
-        "rms_vs_truth": float(np.sqrt(np.mean((final - truth) ** 2))),
-        "clip_objective": float(np.mean(dist)),
+        "rms_vs_truth": float(np.sqrt(np.mean((final - ref_endpoint) ** 2))),
+        "clip_objective": float(objective(final)),
         "prior_fit": float(np.mean((final - MU) ** 2 / S2)),
     }
 
 
 def compute_table() -> Dict[str, Dict[str, float]]:
-    import jax
+    """Solver table: nonlinear tower, whole-image loss, truth = guided
+    ddim1000 ODE (full gradient). Same arm keys as the r4 (linear) table."""
     import jax.numpy as jnp
 
-    model_fn, proj, target = _build_system()
-    x_start = jnp.asarray(
-        np.random.RandomState(5).randn(*SHAPE).astype(np.float32)
-    )
+    model_fn = _build_model_fn()
+    embed, target = _build_tower()
+
+    def builder_for(d, cached):
+        return _make_solver_builder(d, embed, target)
+
+    def objective(final):
+        return float(np.mean(np.asarray(_spherical(embed(jnp.asarray(final)), target))))
+
+    x_start = np.random.RandomState(5).randn(*SHAPE).astype(np.float32)
 
     log("computing guided truth (ddim1000, full gradient)...")
-    truth = _run_arm(1000, "ddim", model_fn, proj, target, x_start)
+    truth = _run_arm(1000, "ddim", model_fn, builder_for, x_start)
 
     arms = [
         ("ddim250 (reference default)", 250, "ddim"),
@@ -198,10 +300,74 @@ def compute_table() -> Dict[str, Dict[str, float]]:
     table = {}
     for name, n, mode in arms:
         log(f"running {name} ...")
-        final = _run_arm(n, mode, model_fn, proj, target, x_start)
-        table[name] = _metrics(final, truth, proj, target)
-    table["truth (ddim1000)"] = _metrics(truth, truth, proj, target)
+        final = _run_arm(n, mode, model_fn, builder_for, x_start)
+        table[name] = _metrics(final, truth, objective)
+    table["truth (ddim1000)"] = _metrics(truth, truth, objective)
     return table
+
+
+def compute_flag_table() -> Dict[str, Dict[str, float]]:
+    """Perf-flag table: cutout-based guidance at the product ddim250 point;
+    each arm flips one of the reference's advertised speed flags. Distances
+    are vs the all-flags-off BASELINE (the flags' advertised contract is
+    "nearly the default image for less compute")."""
+    import jax
+    import jax.numpy as jnp
+
+    from cgd_tpu.guidance.cutouts import make_cutouts, sample_cutout_coords
+
+    model_fn = _build_model_fn()
+    embed, target = _build_tower()
+
+    def builder_for(d, cached):
+        return _make_flag_builder(d, embed, target, cached)
+
+    # fixed eval cutout set shared by every arm: the objective readings
+    # compare like with like regardless of each arm's training-time coords
+    eval_spec = sample_cutout_coords(
+        jax.random.PRNGKey(EVAL_SEED), NUM_CUTOUTS, SHAPE[1], SHAPE[1], CUT_SIZE
+    )
+
+    def objective(final):
+        cuts = make_cutouts(jnp.asarray(final), eval_spec, CUT_SIZE)
+        return float(np.mean(np.asarray(_spherical(embed(cuts), target))))
+
+    x_start = np.random.RandomState(5).randn(*SHAPE).astype(np.float32)
+
+    arms = [
+        ("baseline ddim250 (flags off)", {}),
+        ("--reduce-clip", {"reduce_clip": True}),
+        ("--progressive-cutout", {"progressive_cutout": True}),
+        ("--cached-cutouts", {"cached_cutouts": True}),
+        ("all three flags", {
+            "reduce_clip": True, "progressive_cutout": True, "cached_cutouts": True,
+        }),
+    ]
+    table = {}
+    baseline = None
+    for name, flags in arms:
+        log(f"running flag arm: {name} ...")
+        final = _run_arm(
+            250, "ddim", model_fn, builder_for, x_start,
+            num_cutouts=NUM_CUTOUTS, **flags,
+        )
+        if baseline is None:
+            baseline = final
+        m = _metrics(final, baseline, objective)
+        m["rms_vs_baseline"] = m.pop("rms_vs_truth")
+        table[name] = m
+    return table
+
+
+def _print_table(table, dist_key):
+    w = max(len(k) for k in table)
+    print(f"| {'arm':<{w}} | {dist_key} | clip_objective | prior_fit |")
+    print(f"|{'-' * (w + 2)}|{'-' * (len(dist_key) + 2)}|----------------|-----------|")
+    for name, m in table.items():
+        print(
+            f"| {name:<{w}} | {m[dist_key]:<{len(dist_key)}.4f} "
+            f"| {m['clip_objective']:<14.4f} | {m['prior_fit']:<9.3f} |"
+        )
 
 
 def main():
@@ -214,15 +380,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     except RuntimeError:
         pass
-    table = compute_table()
-    w = max(len(k) for k in table)
-    print(f"| {'arm':<{w}} | rms_vs_truth | clip_objective | prior_fit |")
-    print(f"|{'-' * (w + 2)}|--------------|----------------|-----------|")
-    for name, m in table.items():
-        print(
-            f"| {name:<{w}} | {m['rms_vs_truth']:<12.4f} "
-            f"| {m['clip_objective']:<14.4f} | {m['prior_fit']:<9.3f} |"
-        )
+    _print_table(compute_table(), "rms_vs_truth")
+    print()
+    _print_table(compute_flag_table(), "rms_vs_baseline")
 
 
 if __name__ == "__main__":
