@@ -73,8 +73,13 @@ def lpips_distance(params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     taps_y = _vgg_taps(params, prep(y))
     total = 0.0
     for tx, ty, lin in zip(taps_x, taps_y, params["lins"]):
-        nx = tx * jax.lax.rsqrt(jnp.sum(tx**2, -1, keepdims=True) + 1e-10)
-        ny = ty * jax.lax.rsqrt(jnp.sum(ty**2, -1, keepdims=True) + 1e-10)
+        # upstream normalize_tensor (lpips 0.1.4 lpips/__init__.py):
+        # in_feat / (sqrt(sum(in_feat**2, dim=1)) + eps) — eps is added to
+        # the NORM, not under the sqrt (audited r5; both this file and the
+        # torch twin oracle previously had eps inside the sqrt, a shared
+        # misreading that all crosschecks were blind to)
+        nx = tx / (jnp.sqrt(jnp.sum(tx**2, -1, keepdims=True)) + 1e-10)
+        ny = ty / (jnp.sqrt(jnp.sum(ty**2, -1, keepdims=True)) + 1e-10)
         diff = (nx - ny) ** 2
         w = lin["kernel"][:, 0]  # [C]
         per_pix = jnp.einsum("bhwc,c->bhw", diff, w)

@@ -519,8 +519,10 @@ class TorchLPIPSVgg(nn.Module):
         tx, ty = self._taps(x), self._taps(y)
         total = 0.0
         for a, b, w in zip(tx, ty, self.lins):
-            na = a / (a.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
-            nb = b / (b.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
+            # upstream lpips.normalize_tensor: x / (sqrt(sum(x^2)) + eps) —
+            # eps OUTSIDE the sqrt (lpips 0.1.4 lpips/__init__.py; audited r5)
+            na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
             d = (na - nb).pow(2)
             total = total + (d * w.view(1, -1, 1, 1)).sum(1).mean((1, 2))
         return total
