@@ -278,10 +278,24 @@ def apply_unet(
     *,
     compute_dtype=jnp.float32,
     rng=None,
+    remat_min_dim: Optional[int] = None,
 ) -> jnp.ndarray:
     """Forward pass. x: [B,H,W,in_channels]; timesteps: [B] (float ok);
     y: [B] int class labels when class-conditional. Returns [B,H,W,out_channels]
-    in float32 (eps + variance logits when learn_sigma)."""
+    in float32 (eps + variance logits when learn_sigma).
+
+    ``remat_min_dim``: PARTIAL rematerialization under a gradient — every
+    layer whose input spatial dim is >= this value runs inside
+    ``jax.checkpoint``, so only layer-boundary activations at those levels
+    are kept for the backward and each such layer's internals are recomputed.
+    This sits between the r4 all-or-nothing choices: whole-UNet remat re-runs
+    every forward conv (+21% step time at 512px, PERF.md r4 profile), while
+    no-remat's saved activations can push b>1 512px runs into the HBM
+    pressure region (the 20 s/step cliff). High-res layers hold the bulk of
+    the activation bytes, so checkpointing only them buys most of the memory
+    back for a fraction of the recompute. None = keep everything (fastest,
+    most memory). The reference's analog is guided_diffusion's per-block
+    ``use_checkpoint`` flag (ext unet.py), off in every published config."""
     input_plan, middle_plan, output_plan, _ = block_plan(cfg)
 
     emb = cnn.timestep_embedding(timesteps, cfg.model_channels)
@@ -298,18 +312,26 @@ def apply_unet(
     rngs = iter(jax.random.split(rng, 256)) if rng is not None else None
     nxt_rng = (lambda: next(rngs)) if rngs is not None else (lambda: None)
 
+    def run_layer(p, spec, h, emb, r):
+        if remat_min_dim is not None and r is None and h.shape[1] >= remat_min_dim:
+            fn = jax.checkpoint(
+                lambda p_, h_, emb_: _apply_layer(p_, cfg, spec, h_, emb_, None)
+            )
+            return fn(p, h, emb)
+        return _apply_layer(p, cfg, spec, h, emb, r)
+
     for blk_params, blk_plan_ in zip(params["input"], input_plan):
         for p, spec in zip(blk_params, blk_plan_):
-            h = _apply_layer(p, cfg, spec, h, emb, nxt_rng())
+            h = run_layer(p, spec, h, emb, nxt_rng())
         hs.append(h)
 
     for p, spec in zip(params["middle"], middle_plan):
-        h = _apply_layer(p, cfg, spec, h, emb, nxt_rng())
+        h = run_layer(p, spec, h, emb, nxt_rng())
 
     for blk_params, blk_plan_ in zip(params["output"], output_plan):
         h = jnp.concatenate([h, hs.pop()], axis=-1)
         for p, spec in zip(blk_params, blk_plan_):
-            h = _apply_layer(p, cfg, spec, h, emb, nxt_rng())
+            h = run_layer(p, spec, h, emb, nxt_rng())
 
     h = cnn.fused_gn_silu_conv(params["out_norm"], params["out_conv"], h)
     return h.astype(jnp.float32)

@@ -24,7 +24,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_step(size, cutn, clip_name="ViT-B/32", remat=None):
+def build_step(size, cutn, clip_name="ViT-B/32", remat=None, batch=1):
     from cgd_tpu.diffusion import make_diffusion
     from cgd_tpu.diffusion.sampler import SamplerConfig, StepMeta, make_guided_step
     from cgd_tpu.guidance.pipeline import GuidanceSettings, make_guidance_builder
@@ -41,19 +41,27 @@ def build_step(size, cutn, clip_name="ViT-B/32", remat=None):
     target = np.random.RandomState(2).randn(1, clip_cfg.embed_dim).astype(np.float32)
     weights = np.ones((1,), np.float32)
 
-    def model_fn(params, x, t_model, rng, y):
-        return apply_unet(params["unet"], unet_cfg, x, t_model, y, compute_dtype=jnp.bfloat16)
-
     if remat is None:
-        # match the product graph (api._resolve_remat: b=1 here, so remat
-        # only engages at >=512px with cutn>16 — the 512px b=1 default
-        # profiles the no-remat graph)
+        # match the product graph (api._resolve_remat)
         from cgd_tpu.api import _resolve_remat
 
-        remat = _resolve_remat(size, 1, cutn)
-    if remat:
+        remat = _resolve_remat(size, batch, cutn)
+        remat = "full" if remat is True else ("off" if remat is False else remat)
+    # remat policies: "off" (keep all activations), "full" (whole-UNet
+    # jax.checkpoint — recompute every forward op in the backward),
+    # "hiresN" (partial: checkpoint only layers with input spatial dim >= N
+    # — apply_unet remat_min_dim)
+    min_dim = int(remat[5:]) if str(remat).startswith("hires") else None
+
+    def model_fn(params, x, t_model, rng, y):
+        return apply_unet(
+            params["unet"], unet_cfg, x, t_model, y,
+            compute_dtype=jnp.bfloat16, remat_min_dim=min_dim,
+        )
+
+    if remat == "full":
         model_fn = jax.checkpoint(model_fn, static_argnums=())
-        log(f"UNet rematerialization ON (product graph at {size}px)")
+    log(f"UNet remat policy: {remat}")
 
     builder = make_guidance_builder(clip_cfg, target, weights, diffusion, GuidanceSettings())
     step = make_guided_step(
@@ -68,40 +76,67 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--cutn", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--clip", default="ViT-B/32",
                     help="CLIP release (512px product config pairs with RN50x16)")
-    ap.add_argument("--remat", choices=["auto", "on", "off"], default="auto",
-                    help="UNet rematerialization under the guidance gradient "
-                         "(auto = the product gate, api._resolve_remat: on only "
-                         "at >=512px AND batch>1 or cutn>16 — off at the "
-                         "512px b=1 default)")
+    ap.add_argument("--remat", default="auto",
+                    help="UNet rematerialization under the guidance gradient: "
+                         "auto = the product gate (api._resolve_remat), "
+                         "off / full / hiresN (partial: checkpoint layers with "
+                         "input spatial dim >= N, e.g. hires256)")
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--top", type=int, default=45)
+    ap.add_argument("--time-only", action="store_true",
+                    help="skip the xplane trace: print compile time, "
+                         "memory_analysis, and steady per-step only")
     ap.add_argument("--trace-dir", default="/tmp/cgd_profile")
     args = ap.parse_args()
 
     from cgd_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
-    remat = None if args.remat == "auto" else (args.remat == "on")
-    step, params = build_step(args.size, args.cutn, clip_name=args.clip, remat=remat)
+    remat = None if args.remat == "auto" else (
+        {"on": "full"}.get(args.remat, args.remat)
+    )
+    step, params = build_step(
+        args.size, args.cutn, clip_name=args.clip, remat=remat, batch=args.batch
+    )
 
-    @jax.jit
-    def one(params, x, y, key):
+    def one_fn(params, x, y, key):
         x2, px, y2 = step(params, x, jnp.int32(125), jnp.int32(249), y, key)
         return x2, y2
 
     with jax.default_device(jax.devices("cpu")[0]):
-        x = jax.random.normal(jax.random.PRNGKey(0), (1, args.size, args.size, 3), jnp.float32)
-        y = jnp.zeros((1,), jnp.int32)
+        x = jax.random.normal(
+            jax.random.PRNGKey(0), (args.batch, args.size, args.size, 3), jnp.float32
+        )
+        y = jnp.zeros((args.batch,), jnp.int32)
     x = jax.device_put(x, jax.devices()[0])
     y = jax.device_put(y, jax.devices()[0])
 
     log("compiling single guided step...")
     t0 = time.time()
+    compiled = jax.jit(one_fn).lower(params, x, y, jax.random.PRNGKey(1)).compile()
+    log(f"compile: {time.time() - t0:.1f}s")
+    try:
+        ma = compiled.memory_analysis()
+        log(
+            "memory_analysis: "
+            f"temp={ma.temp_size_in_bytes / 2**30:.2f}GiB "
+            f"args={ma.argument_size_in_bytes / 2**30:.2f}GiB "
+            f"out={ma.output_size_in_bytes / 2**30:.2f}GiB "
+            f"gen={ma.generated_code_size_in_bytes / 2**20:.0f}MiB"
+        )
+    except Exception as e:
+        log(f"memory_analysis unavailable: {e}")
+
+    def one(params, x, y, key):
+        return compiled(params, x, y, key)
+
+    t0 = time.time()
     x1, y1 = one(params, x, y, jax.random.PRNGKey(1))
     _ = float(jnp.sum(x1))  # fetch-forced completion (axon trap #3)
-    log(f"compile+first: {time.time() - t0:.1f}s")
+    log(f"first step (incl. fetch handshake on fresh processes): {time.time() - t0:.1f}s")
 
     # timed, untraced (steady state)
     t0 = time.time()
@@ -111,6 +146,8 @@ def main():
     _ = float(jnp.sum(xs))
     per = (time.time() - t0) / args.steps
     log(f"steady per-step (fetch-forced, n={args.steps}): {per * 1e3:.1f} ms")
+    if args.time_only:
+        return
 
     log("tracing...")
     with jax.profiler.trace(args.trace_dir):
