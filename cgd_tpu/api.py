@@ -178,6 +178,28 @@ def _resolve_remat(image_size: int, batch_size: int, num_cutouts: int) -> bool:
     return image_size >= 512 and (batch_size > 1 or num_cutouts > 16)
 
 
+_SEG_CACHES: "OrderedDict[str, dict]" = __import__("collections").OrderedDict()
+_SEG_CACHES_MAX = 4
+
+
+def _seg_cache_for(key: str) -> dict:
+    """Process-level LRU of sampler segment caches, keyed by the full run
+    configuration. A repeat-config generation (a serving daemon's bread and
+    butter) reuses the previous run's jitted/AOT segment functions — zero
+    re-tracing/lowering, which is the dominant warm-start host cost once the
+    persistent compile cache removes XLA compilation (PERF.md r5). Only
+    valid because everything per-run is a jit argument: prompt targets and
+    cached cutout coords ride the params pytree (r5), schedule indices and
+    RNG keys are scan inputs."""
+    cache = _SEG_CACHES.pop(key, None)
+    if cache is None:
+        cache = {}
+        while len(_SEG_CACHES) >= _SEG_CACHES_MAX:
+            _SEG_CACHES.popitem(last=False)
+    _SEG_CACHES[key] = cache
+    return cache
+
+
 @functools.lru_cache(maxsize=1)
 def _host_callbacks_supported() -> bool:
     """Some tunneled PJRT backends (axon) reject host send/recv callbacks;
@@ -283,6 +305,12 @@ def clip_guided_diffusion(
     # --stall-timeout, or any supervisor) can tell a long compile from a
     # hung device backend. See cgd_tpu/utils/watchdog.py for the incident
     # that motivated this.
+    device_lock=None,  # threading.Lock serializing the DEVICE-heavy sampling
+    # phase across concurrent generations (serve.py pipelining): everything
+    # before the sampling loop — weight resolve, tokenization, prompt
+    # encoding, validation — runs outside the lock so request N+1's host
+    # prep overlaps request N's device scan. None = no serialization (the
+    # single-request CLI/API case).
 ) -> Iterator[Tuple[int, str]]:
     from cgd_tpu.utils.compile_cache import enable_compile_cache
 
@@ -430,7 +458,8 @@ def clip_guided_diffusion(
             image_size + width_offset, image_size + height_offset,
             clip_cfg.input_resolution, cutout_power,
         )
-        # numpy-ify: these become closure constants of the jitted loss
+        # numpy-ify for the params pytree below — as jit arguments (not
+        # closure literals) a new seed's coords reuse the compiled graph
         cached_coords = type(cached_coords)(*(np.asarray(c) for c in cached_coords))
 
     # ---- wire up the sampler ----------------------------------------------
@@ -563,12 +592,30 @@ def clip_guided_diffusion(
                     "step": step_k,
                 })
 
+    # Prompt targets (and cached cutout coords) travel in the params pytree,
+    # NOT as builder closures: closed-over numpy constants are inlined into
+    # the HLO as literals, so every new prompt (or cached-coords seed) at an
+    # otherwise-identical config produced a DIFFERENT HLO module and missed
+    # both the jit and persistent compile caches — a full recompile per
+    # distinct prompt in a serving daemon (r5 fix; the warmup daemon's
+    # pre-compiled graphs now cover arbitrary prompts of the same count).
     builder = make_guidance_builder(
-        clip_cfg, target_embeds, weights, diffusion, settings,
-        use_init_loss=use_init_loss, cached_coords=cached_coords, mesh=mesh,
+        clip_cfg, None, None, diffusion, settings,
+        use_init_loss=use_init_loss, mesh=mesh,
         loss_callback=loss_cb,
     )
-    params = {"unet": unet_params, "clip": clip_params}
+    params = {
+        "unet": unet_params,
+        "clip": clip_params,
+        "guidance": {
+            "target_embeds": jnp.asarray(target_embeds, jnp.float32),
+            "weights": jnp.asarray(weights, jnp.float32),
+        },
+    }
+    if cached_coords is not None:
+        params["guidance"]["cached_coords"] = jax.tree.map(
+            jnp.asarray, cached_coords
+        )
     if use_init_loss:
         params["lpips"] = lpips_params
         params["init_image"] = init_tensor
@@ -604,14 +651,55 @@ def clip_guided_diffusion(
         init_noise = rec["init"] if "init" in rec.files else None
         noise_steps = rec["steps"] if "steps" in rec.files else None
 
+    import json as _json
+
+    # Cross-generation segment-executable reuse (r5): key a process-level
+    # cache of the sampler's jitted/AOT segment functions by everything a
+    # segment fn CLOSES OVER (graph shape). Seed, prompt text, and image
+    # prompts are deliberately NOT in the key — they ride the params pytree
+    # or scan inputs, so a new prompt at a warmed config reuses the previous
+    # generation's executables with zero re-tracing (the dominant per-request
+    # host cost in serve.py once the persistent compile cache removes XLA
+    # compilation; PERF.md r5).
+    seg_key = _json.dumps({
+        "shape": list(shape), "timestep_respacing": timestep_respacing,
+        "diffusion_steps": diffusion_steps, "noise_schedule": noise_schedule,
+        "skip_timesteps": int(skip_timesteps), "num_cutouts": int(num_cutouts),
+        "save_frequency": int(save_frequency), "reduce_clip": reduce_clip,
+        "progressive_cutout": progressive_cutout,
+        "fast_guidance": fast_guidance, "dpm_solver": dpm_solver,
+        "class_cond": class_cond, "randomize_class": randomize_class,
+        "strict_parity": strict_parity, "clip_model_name": clip_model_name,
+        "clip_guidance_scale": float(clip_guidance_scale),
+        "tv_scale": float(tv_scale), "range_scale": float(range_scale),
+        "sat_scale": float(sat_scale), "init_scale": float(init_scale),
+        "cutout_power": float(cutout_power), "use_augs": use_augs,
+        "use_magnitude": use_magnitude, "cached_cutouts": cached_cutouts,
+        "compute_dtype": compute_dtype, "unet_remat": use_remat,
+        "weights_mode": weights_mode,
+        # graph-shaping state that lives outside run_meta:
+        "n_targets": int(np.asarray(weights).shape[0]),
+        "use_init_loss": use_init_loss, "has_init": init_tensor is not None,
+        "live_losses": loss_cb is not None, "seg_losses": loss_sink is not None,
+        "wandb_images": image_sink is not None,
+        "has_noise": noise_steps is not None, "conv_route": conv_route,
+        "mesh": None if mesh is None else repr(
+            dict(zip(mesh.axis_names, mesh.devices.shape))
+        ),
+    }, sort_keys=True)
+    # loss_cb is the one run-scoped object BAKED INTO the traced graph
+    # (jax.debug.callback closes over this run's wandb handle/emit line), so
+    # executables built with a live callback must not outlive their run —
+    # give those a private cache. The segment-boundary loss_sink/image_sink
+    # paths are consumed OUTSIDE the jit (per-call) and stay shareable.
+    seg_cache = _seg_cache_for(seg_key) if loss_cb is None else {}
+
     # Mid-run sampling-state checkpointing (beyond the reference): the
     # sampler's per-segment RNG keys derive only from the seed, so saving
     # the carried (x, y) at a segment boundary and replaying the remaining
     # segments continues the run bit-exactly. The meta guard refuses to
     # resume under a different run configuration (which would silently
     # produce a different image).
-    import json as _json
-
     run_meta = _json.dumps({
         # everything that shapes the remaining segments or their guidance:
         # segment structure (respacing/skip/save/strict_parity via the
@@ -725,6 +813,7 @@ def clip_guided_diffusion(
             image_sink=image_sink,
             state_sink=state_sink,
             resume=resume_state,
+            seg_cache=seg_cache,
             x_sharding=x_shard,
         )
         while True:
@@ -735,6 +824,12 @@ def clip_guided_diffusion(
                     return
             yield item
 
+    if device_lock is not None:
+        # keep petting while queued behind another generation's device phase
+        # — waiting for the chip is progress-adjacent, not a stall
+        pet("waiting for device lock")
+        while not device_lock.acquire(timeout=5.0):
+            pet("waiting for device lock")
     try:
         pet("compile + first sampling segment")
         for step_k, pred_x0, x_t in routed_sample_loop():
@@ -753,6 +848,8 @@ def clip_guided_diffusion(
             print(f"(CLIP model currently: {clip_model_name})")
         raise
     finally:
+        if device_lock is not None:
+            device_lock.release()
         if async_frames:
             from cgd_tpu.io_utils.images import flush_frames
 

@@ -257,6 +257,16 @@ def sample_loop(
     image_sink: Optional[Callable[[list, "np.ndarray", "np.ndarray"], None]] = None,
     state_sink: Optional[Callable[[int, dict], None]] = None,
     resume: Optional[dict] = None,
+    seg_cache: Optional[dict] = None,  # cross-call segment-executable cache:
+    # a dict the CALLER keys by full run configuration (api.py's
+    # _seg_cache_for) so a repeat-config generation in the same process
+    # reuses the previous run's jitted/AOT segment functions — ZERO
+    # re-tracing/lowering (the dominant warm-start host cost, PERF.md r5).
+    # Safe only because everything per-run is a jit ARGUMENT (params incl.
+    # prompt targets, ts/ref_ts, rng keys, dpm state); the closures baked
+    # into a segment fn depend only on the caller's cache key. None = a
+    # fresh private dict (the single-generation case, exactly the old
+    # behavior).
     x_sharding=None,  # jax.sharding.Sharding for the carried sample (mesh
     # runs: batch over 'data', replicated over 'cut' — api.py threads
     # parallel.mesh.batch_sharding here). Applied to the initial x and to
@@ -340,7 +350,7 @@ def sample_loop(
         save_at.add(len(plan) - 1)
 
     # jit cache keyed by (segment_len, guided, cutn)
-    scan_cache = {}
+    scan_cache = seg_cache if seg_cache is not None else {}
     has_noise = noise_override is not None
     dpm = cfg.dpm_solver
 
@@ -526,6 +536,8 @@ def sample_loop(
         y_ex = y if y is not None else jnp.zeros((shape[0],), jnp.int32)
         lowered = {}
         for mk, (seg, k, r) in distinct.items():
+            if mk in scan_cache:
+                continue  # warm cross-call cache (seg_cache): already built
             seg_fn = build_seg_fn(seg[0])
             ts, ref_ts, nz, dpm_per = seg_inputs(seg, k)
             extra = (jnp.zeros_like(x),) + dpm_per if dpm else ()
@@ -534,7 +546,7 @@ def sample_loop(
             lowered[mk] = (
                 seg_fn, seg_fn.lower(params, x, y_ex, r, ts, ref_ts, nz, *extra)
             )
-        with ThreadPoolExecutor(max_workers=min(4, len(lowered))) as ex:
+        with ThreadPoolExecutor(max_workers=min(4, max(len(lowered), 1))) as ex:
             compiled = {
                 mk: fut
                 for mk, fut in zip(

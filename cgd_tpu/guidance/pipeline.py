@@ -72,6 +72,16 @@ def make_guidance_builder(
     + params["init_image"] ([B,H,W,3] in [-1,1]). Only scalars/small arrays
     are closed over — big closures become inlined HLO constants.
 
+    ``target_embeds=None`` (serving mode, used by api.py): the prompt
+    targets are read from ``params["guidance"]`` = {"target_embeds": [P,D],
+    "weights": [P]} instead of being closed over. Closed-over targets are
+    inlined into the HLO as literals, so every NEW PROMPT used to produce a
+    different HLO module and miss both the jit and the persistent compile
+    caches — a full recompile (~4.5 min at the 256px headline) per distinct
+    prompt in a serving daemon. As jit arguments, any prompt with the same
+    prompt-count P reuses the one compiled graph (r5; pinned by
+    tests/test_serve.py::test_new_prompt_same_config_is_same_hlo).
+
     When ``mesh`` is given, the cutout batch is sharded across all mesh
     devices (see cgd_tpu.parallel.mesh) — XLA then all-reduces the guidance
     gradient over the cutout shards."""
@@ -83,8 +93,10 @@ def make_guidance_builder(
     mean = np.asarray(CLIP_MEAN, np.float32)
     std = np.asarray(CLIP_STD, np.float32)
     sqrt_om = np.asarray(diffusion.sqrt_one_minus_alphas_cumprod)
-    target_embeds = np.asarray(target_embeds, np.float32)
-    weights = np.asarray(weights, np.float32)
+    targets_in_params = target_embeds is None
+    if not targets_in_params:
+        target_embeds = np.asarray(target_embeds, np.float32)
+        weights = np.asarray(weights, np.float32)
     if cached_coords is not None:
         cached_coords = CutoutSpec(*(np.asarray(a) for a in cached_coords))
     compute_dtype = jnp.bfloat16 if settings.clip_compute_dtype == "bfloat16" else jnp.float32
@@ -93,6 +105,11 @@ def make_guidance_builder(
         cutn = meta.cutn
 
         def loss_fn(params, rng, x, out: PMeanVariance, ref_t):
+            if targets_in_params:
+                t_embeds = params["guidance"]["target_embeds"]
+                t_weights = params["guidance"]["weights"]
+            else:
+                t_embeds, t_weights = target_embeds, weights
             b = x.shape[0]
             side_y, side_x = x.shape[1], x.shape[2]
             fac = jnp.asarray(sqrt_om)[ref_t]
@@ -117,11 +134,17 @@ def make_guidance_builder(
                 )
 
             r_coords, r_augs = jax.random.split(rng)
-            if cached_coords is not None:
+            cc = cached_coords
+            if targets_in_params and "cached_coords" in params["guidance"]:
+                # serving mode: the per-run random coords are jit arguments
+                # too — as closure literals each new seed's coords would
+                # force a recompile, exactly like the prompt targets
+                cc = params["guidance"]["cached_coords"]
+            if cc is not None:
                 spec = CutoutSpec(
-                    cached_coords.offset_x[:cutn],
-                    cached_coords.offset_y[:cutn],
-                    cached_coords.size[:cutn],
+                    cc.offset_x[:cutn],
+                    cc.offset_y[:cutn],
+                    cc.size[:cutn],
                 )
             else:
                 spec = sample_cutout_coords(
@@ -147,9 +170,9 @@ def make_guidance_builder(
             # there is no working reference behavior to replicate, only an
             # error/garbage mode. Pinned by tests/test_guidance.py:181.
             dists = spherical_dist_loss(
-                embeds[:, :, None, :], target_embeds[None, None, :, :]
+                embeds[:, :, None, :], t_embeds[None, None, :, :]
             )
-            clip_losses = (dists * weights).sum(-1).mean(0)  # [B]
+            clip_losses = (dists * t_weights).sum(-1).mean(0)  # [B]
 
             log = {}
             clip_total = clip_losses.sum() * settings.clip_guidance_scale

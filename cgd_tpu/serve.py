@@ -11,10 +11,17 @@ deployment on TPU VMs:
       -> image/png (the final frame)
     GET  /healthz  -> {"status": "ok", "backend": "tpu", "devices": N}
 
-Requests are serialized through a single worker (one TPU context); compiled
-graphs are cached across requests by jit + the persistent compilation cache,
-so repeat configs skip compilation entirely (the reference leans on
-lru_cache(1) warm restarts for the same effect, cgd/clip_util.py:47).
+Pipelined execution (r5): only the DEVICE-heavy sampling phase is
+serialized (one TPU context — api.py's ``device_lock``); each request's
+host-side prep (weight resolve, tokenization, prompt encoding, validation,
+output dir) runs concurrently, so request N+1's host work overlaps request
+N's device scan and the chip never idles between requests. In-flight
+requests are bounded by a semaphore so a burst can't stack unbounded prep
+memory. Compiled graphs are cached across requests by the persistent
+compilation cache — and since r5 the prompt targets are jit ARGUMENTS, so
+a NEW prompt at a warmed config is a cache hit too, not a fresh ~4.5 min
+compile (the reference leans on lru_cache(1) warm restarts for the same
+effect, cgd/clip_util.py:47, and re-runs its full Python loop per request).
 """
 
 from __future__ import annotations
@@ -26,7 +33,8 @@ import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-_LOCK = threading.Lock()
+_DEVICE_LOCK = threading.Lock()  # one TPU context: serialize sampling only
+_INFLIGHT = threading.Semaphore(3)  # 1 sampling + up to 2 in host prep
 
 ALLOWED_KWARGS = {
     "image_size", "num_cutouts", "clip_guidance_scale", "tv_scale", "range_scale",
@@ -61,6 +69,7 @@ def _generate(payload: dict, weights_mode: str, stall_pet=None, mesh=None):
             weights_mode=weights_mode,
             stall_pet=stall_pet,
             mesh=mesh,
+            device_lock=_DEVICE_LOCK,
             **kwargs,
         )
         for _b, path in gen:
@@ -103,7 +112,9 @@ class Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
-            with _LOCK:  # one TPU context; serialize generations
+            with _INFLIGHT:  # bound burst prep memory; sampling itself is
+                # serialized by _DEVICE_LOCK inside the generator, so this
+                # request's host prep overlaps the in-flight device scan.
                 # A hung device backend would wedge every future request too
                 # (one TPU context) — exit 117 so the supervisor restarts the
                 # daemon instead (cgd_tpu/utils/watchdog.py).

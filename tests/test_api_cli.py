@@ -524,6 +524,57 @@ class TestTextEncoderReuse:
         assert api._text_encoder_traces() == before + 1
 
 
+class TestSegmentExecutableReuse:
+    def test_second_run_same_config_rebuilds_no_segments(self, tmp_path):
+        """Cross-generation segment-executable reuse (r5): a repeat-config
+        generation — new PROMPT, same everything else — must reuse the
+        previous run's jitted segment functions (zero make_guided_step
+        rebuilds: tracing/lowering the big scan graphs is the dominant
+        per-request host cost in serve.py), and the new prompt's targets
+        must still flow through the cached executable via the params pytree
+        (same seed + different prompt => different final image)."""
+        import jax
+        from PIL import Image
+
+        import cgd_tpu.api as api
+        import cgd_tpu.diffusion.sampler as sampler
+
+        api._SEG_CACHES.clear()
+        calls = []
+        orig = sampler.make_guided_step
+
+        def counting(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        sampler.make_guided_step = counting
+        try:
+            def run(prompt, sub):
+                return [
+                    path for _b, path in api.clip_guided_diffusion(
+                        prompts=[prompt], image_size=64,
+                        timestep_respacing="ddim8", num_cutouts=2,
+                        save_frequency=4, weights_mode="random",
+                        prefix_path=tmp_path / sub, progress=False, seed=11,
+                    )
+                ]
+
+            first = run("alpha glyph", "r1")
+            n1 = len(calls)
+            assert n1 > 0
+            second = run("omega shard", "r2")
+            assert len(calls) == n1, "repeat-config run rebuilt segment fns"
+            assert len(api._SEG_CACHES) == 1  # one config -> one cache entry
+            a = np.asarray(Image.open(first[-1]), np.float32)
+            b = np.asarray(Image.open(second[-1]), np.float32)
+            assert np.abs(a - b).max() > 0, (
+                "new prompt produced the old prompt's image — targets are "
+                "baked into the cached executable instead of riding params"
+            )
+        finally:
+            sampler.make_guided_step = orig
+
+
 class TestMeshConvRoute:
     def test_kill_switches_and_axon_default(self, monkeypatch):
         """Mesh runs default to the SPMD-wrapped Pallas convs, but the

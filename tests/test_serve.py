@@ -77,6 +77,101 @@ class TestServe:
         assert ei.value.code == 400
         assert "prompt" in json.loads(ei.value.read())["error"]
 
+    @pytest.mark.slow
+    def test_two_overlapping_requests(self, server):
+        """Pipelined serving (r5): two concurrent requests with DIFFERENT
+        prompts both succeed; sampling is serialized by the device lock while
+        host prep overlaps (the daemon used to hold one lock around the
+        whole generation)."""
+        results = {}
+
+        def post(key, prompt):
+            req = urllib.request.Request(
+                f"{server}/generate",
+                data=json.dumps({
+                    "prompt": prompt, "image_size": 64,
+                    "timestep_respacing": "ddim6", "num_cutouts": 2,
+                }).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                results[key] = r.read()
+
+        threads = [
+            threading.Thread(target=post, args=("a", "overlap one")),
+            threading.Thread(target=post, args=("b", "overlap two")),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert set(results) == {"a", "b"}
+        for data in results.values():
+            assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_new_prompt_same_config_is_same_hlo(self):
+        """Serving-critical (r5): prompt target embeddings travel in the
+        params pytree, so two different prompts at the same config lower to
+        the IDENTICAL module — the persistent compile cache hits and a new
+        prompt costs seconds, not a fresh ~4.5 min compile. (The old builder
+        closed over the embeddings, inlining them as HLO literals.)"""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from cgd_tpu.diffusion import make_diffusion
+        from cgd_tpu.diffusion.sampler import (
+            SamplerConfig, StepMeta, make_guided_step,
+        )
+        from cgd_tpu.guidance.pipeline import GuidanceSettings, make_guidance_builder
+        from cgd_tpu.models.clip.configs import CLIPConfig, TextConfig, VisionViTConfig
+        from cgd_tpu.models.clip import init_clip
+        from cgd_tpu.models.unet import UNetConfig, apply_unet, init_unet
+
+        unet_cfg = UNetConfig(
+            image_size=32, model_channels=32, num_res_blocks=1,
+            attention_ds=(4,), channel_mult=(1, 2), num_head_channels=16,
+            num_classes=None,
+        )
+        clip_cfg = CLIPConfig(
+            name="t", embed_dim=32,
+            vision=VisionViTConfig(32, 8, 64, 2, 2),
+            text=TextConfig(width=64, heads=2, layers=2),
+        )
+        diffusion = make_diffusion(1000, "linear", "ddim10")
+        builder = make_guidance_builder(
+            clip_cfg, None, None, diffusion, GuidanceSettings()
+        )
+
+        def model_fn(params, x, t_model, rng, y):
+            return apply_unet(params["unet"], unet_cfg, x, t_model, y)
+
+        step = make_guided_step(
+            diffusion, model_fn, builder(StepMeta(5, True, 2)),
+            SamplerConfig(use_ddim=True),
+        )
+        base = {
+            "unet": init_unet(jax.random.PRNGKey(0), unet_cfg),
+            "clip": init_clip(jax.random.PRNGKey(1), clip_cfg),
+        }
+        x = jnp.zeros((1, 32, 32, 3))
+
+        def lower_with(embeds):
+            params = dict(
+                base,
+                guidance={
+                    "target_embeds": jnp.asarray(embeds),
+                    "weights": jnp.ones((2,), jnp.float32),
+                },
+            )
+            return jax.jit(step).lower(
+                params, x, jnp.int32(5), jnp.int32(9), None, jax.random.PRNGKey(2)
+            ).as_text()
+
+        a = lower_with(np.full((2, 32), 0.1, np.float32))
+        b = lower_with(np.full((2, 32), -0.7, np.float32))
+        assert a == b, "prompt targets leaked into the lowered module as literals"
+
     def test_failed_generate_removes_scratch_dir(self, monkeypatch):
         """A failing request must not leak its cgd_serve_* temp tree — the
         success-path caller cleanup never sees a dir when _generate raises."""
