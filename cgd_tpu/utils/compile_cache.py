@@ -6,22 +6,27 @@ persistent cache works through the axon remote-compile path (measured:
 one-time fetch handshake). Enabled by every framework entry point (api, cli,
 bench); opt out with CGD_TPU_NO_COMPILE_CACHE=1.
 
-The cache dir is salted with a host fingerprint: even on an accelerator
-backend, host-side computations (param init on the CPU device, etc.) produce
-XLA:CPU AOT entries that embed the compiling machine's LLVM *target
-features*, and reloading them on a different host risks SIGILL (observed
-after a host swap: "Target machine feature +prefer-no-scatter is not
+XLA:CPU entries are excluded from the cache entirely (r5): the
+cpu_aot_loader.cc "Target machine feature +prefer-no-scatter is not
 supported on the host machine ... could lead to execution errors such as
-SIGILL", cpu_aot_loader.cc). The r4 salt read /proc/cpuinfo's flags line,
-which demonstrably did NOT catch that case: `+prefer-no-scatter` /
-`+prefer-no-gather` are XLA/LLVM-derived target features that never appear
-in cpuinfo, so two hosts with identical cpuinfo flags still produced the
-mismatch pair in every bench tail. The fingerprint is now the feature
-string XLA itself bakes into AOT results — extracted from a serialized
-trivial XLA:CPU executable — plus the jaxlib version (the LLVM that derives
-the features). A host change starts a fresh per-host cache instead of
-loading incompatible AOT code; TPU entries recompile once (~4.5 min at the
-256px headline, see PERF.md cold-start).
+SIGILL" error pair that polluted every bench/smoke tail is a SAME-HOST
+false positive, measured on this toolchain (jax 0.9.0): a two-process probe
+compiling and reloading a CPU entry on one machine still logs the pair,
+because XLA bakes LLVM *tuning* preferences (`+prefer-no-scatter`,
+`+prefer-no-gather`) into the compile-time feature string while the
+loader's host probe enumerates only real CPUID features. The r4 reading
+(host swap -> fingerprint salt) was wrong — no per-host salt can silence a
+same-host mismatch. Under an accelerator default backend the only
+cpu-platform compiles are small host-side graphs (param init, token
+prep — sub-second), so persisting them buys nothing; _gate_cpu_cache_entries
+nulls the cache key for cpu-platform backends, keeping the accelerator
+entries (the ones worth minutes) and skipping CPU reads AND writes.
+
+The cache dir is still salted with a host fingerprint — XLA's own
+target-feature string (extracted from a serialized trivial XLA:CPU
+executable) plus the jaxlib version — as defense in depth for any residual
+host-sensitive entry a future backend might produce, plus a cache-format
+version token so dirs holding pre-gate CPU entries are never reloaded.
 """
 
 from __future__ import annotations
@@ -89,7 +94,9 @@ def _host_fingerprint() -> str:
     import hashlib
     import platform
 
-    src = platform.machine()
+    # cache-format token: v2 dirs never contain XLA:CPU entries (the gate
+    # below); bumping it also orphans pre-gate dirs that do
+    src = "v2-cpu-gated " + platform.machine()
     try:
         import jaxlib
 
@@ -104,6 +111,33 @@ def _host_fingerprint() -> str:
     else:
         src += " " + _cpuinfo_fallback()
     return hashlib.sha1(src.encode()).hexdigest()[:12]
+
+
+def _gate_cpu_cache_entries() -> bool:
+    """Null the persistent-cache key for cpu-platform backends so XLA:CPU
+    modules are neither written to nor read from the cache (see module
+    docstring: same-host CPU AOT reloads log a spurious feature-mismatch
+    error pair on this toolchain, and CPU compiles are sub-second anyway).
+    Wraps jax's private ``_get_cache_key`` — the single choke point both the
+    read and write paths flow through; a jax upgrade that moves it degrades
+    gracefully (returns False, entries cached as before). Idempotent."""
+    try:
+        from jax._src import compiler as _compiler
+
+        orig = _compiler._get_cache_key
+        if getattr(orig, "_cgd_cpu_gated", False):
+            return True
+
+        def gated(options, backend, computation, devices, *a, **kw):
+            if getattr(backend, "platform", None) == "cpu":
+                return None
+            return orig(options, backend, computation, devices, *a, **kw)
+
+        gated._cgd_cpu_gated = True
+        _compiler._get_cache_key = gated
+        return True
+    except Exception:
+        return False
 
 
 def cache_dir() -> str:
@@ -133,6 +167,7 @@ def enable_compile_cache() -> None:
         return
     d = cache_dir()
     os.makedirs(d, exist_ok=True)
+    _gate_cpu_cache_entries()
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     _ENABLED = True

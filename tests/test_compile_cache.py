@@ -64,6 +64,60 @@ class TestTargetFeatureExtraction:
         assert calls, "fallback source was not consulted"
 
 
+class TestCpuEntriesGated:
+    def test_cpu_compiles_are_excluded_from_persistent_cache(self, cc, tmp_path):
+        """XLA:CPU modules must never enter the persistent cache: reloading a
+        CPU AOT entry logs the spurious cpu_aot_loader feature-mismatch error
+        pair EVEN ON THE COMPILING HOST (jax 0.9.0 — measured with a
+        two-process probe; the compile feature string carries LLVM tuning
+        prefs the loader's CPUID probe never lists). Control first: with the
+        cache dir set and no gate, a CPU jit writes entries (proves the
+        assertion below isn't vacuous); after _gate_cpu_cache_entries, a
+        fresh CPU jit writes nothing."""
+        import jax
+        import jax.numpy as jnp
+        from jax._src import compiler as jcompiler
+
+        orig_key_fn = jcompiler._get_cache_key
+        entries = lambda: [p for p in tmp_path.rglob("*") if p.is_file()]
+        try:
+            jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.jit(lambda x: jnp.sin(x) * 3)(jnp.ones((16,))).block_until_ready()
+            assert entries(), "control: persistent cache wrote nothing"
+            n_control = len(entries())
+
+            assert cc._gate_cpu_cache_entries()
+            assert cc._gate_cpu_cache_entries()  # idempotent: no double wrap
+            assert getattr(jcompiler._get_cache_key, "_cgd_cpu_gated", False)
+            jax.jit(lambda x: jnp.cos(x) + 7)(jnp.ones((16,))).block_until_ready()
+            assert len(entries()) == n_control, (
+                "gated CPU compile still wrote a persistent-cache entry"
+            )
+        finally:
+            jcompiler._get_cache_key = orig_key_fn
+            jax.config.update("jax_compilation_cache_dir", None)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    def test_fingerprint_carries_cache_format_token(self, cc, monkeypatch):
+        """Pre-gate cache dirs hold CPU AOT entries that would resume the
+        E-log pair on load; the v2 format token in the fingerprint orphans
+        them."""
+        monkeypatch.setattr(cc, "_xla_cpu_target_features", lambda: "+avx")
+        import hashlib
+        import platform
+
+        src_v1 = platform.machine()
+        try:
+            import jaxlib
+
+            src_v1 += f" jaxlib={jaxlib.__version__}"
+        except Exception:
+            pass
+        v1 = hashlib.sha1((src_v1 + " +avx").encode()).hexdigest()[:12]
+        assert cc._host_fingerprint() != v1
+
+
 class TestCacheIsolation:
     def test_fingerprint_change_yields_fresh_cache_dir(self, cc, monkeypatch, tmp_path):
         monkeypatch.setenv("CGD_TPU_COMPILE_CACHE", str(tmp_path))
