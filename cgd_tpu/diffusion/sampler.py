@@ -216,6 +216,46 @@ def make_guided_step(
     return step
 
 
+def segment_plan(
+    plan: List[StepMeta],
+    save_frequency: int,
+    final_frame_parity: bool = True,
+    skip_timesteps: int = 0,
+) -> Tuple[List[Tuple[int, List[StepMeta]]], set]:
+    """Split the static step plan into scan segments of identical meta
+    (guided, cutn), each ending at a save point. Save at consumed-step k
+    where k % save_frequency == 0 => segment boundaries *after* each step
+    whose index hits the save rule (reference save cadence:
+    cgd/cgd.py:176-197). Returns ([(start_index, [StepMeta,...]), ...],
+    save_at). Pure plan arithmetic — shared by sample_loop and the
+    trace-time tooling so measurements can't drift from the product's
+    segmentation."""
+    save_at = set()
+    for k in range(len(plan)):
+        if k % save_frequency == 0:
+            save_at.add(k)
+    if not final_frame_parity or skip_timesteps == 0:
+        save_at.add(len(plan) - 1)
+
+    segments = []
+    k = 0
+    n = len(plan)
+    while k < n:
+        seg = [plan[k]]
+        j = k + 1
+        while (
+            j < n
+            and plan[j].guided == plan[k].guided
+            and plan[j].cutn == plan[k].cutn
+            and (j - 1) not in save_at  # previous step was not a save point
+        ):
+            seg.append(plan[j])
+            j += 1
+        segments.append((k, seg))
+        k = j
+    return segments, save_at
+
+
 def _img_tap_plan(seg_len: int, shape, itemsize: int) -> Tuple[int, int]:
     """(stride, n_taps) bounding the HBM the per-step wandb image taps may
     stack per segment. Two [seg_len, *shape] buffers for a final-frame-only
@@ -339,15 +379,14 @@ def sample_loop(
 
     y = y_init
 
-    # split plan into segments: same static meta (guided, cutn), ending at
-    # save points. Save at consumed-step k where k % save_frequency == 0 ⇒
-    # segment boundaries *after* each step whose index hits the save rule.
-    save_at = set()
-    for k in range(len(plan)):
-        if k % save_frequency == 0:
-            save_at.add(k)
-    if not final_frame_parity or skip_timesteps == 0:
-        save_at.add(len(plan) - 1)
+    # split plan into segments (segment_plan): same static meta
+    # (guided, cutn), ending at save points; built up front (pure python) so
+    # per-segment RNG keys can be split in ONE device op — eager splits
+    # inside the loop would cost a remote round trip per segment on
+    # tunneled TPU backends
+    segments, save_at = segment_plan(
+        plan, save_frequency, final_frame_parity, skip_timesteps
+    )
 
     # jit cache keyed by (segment_len, guided, cutn)
     scan_cache = seg_cache if seg_cache is not None else {}
@@ -381,11 +420,26 @@ def sample_loop(
         )
         return ts, ref_ts, nz, (tps, fis)
 
+    # Trace-sharing across segment signatures: signatures differ only in
+    # scan LENGTH — the step body is identical for equal (guided, cutn) —
+    # so jit the inner step once per (guided, cutn) and let every
+    # signature's outer trace reuse its cached jaxpr instead of re-tracing
+    # the whole UNet+CLIP+VJP body (the 256px body re-trace costs ~4-5 s
+    # per extra signature; measured table in PERF.md r5 / tools/trace_time.py).
+    # XLA inlines the inner call during compilation — device code unchanged.
+    _step_cache: dict = {}
+
+    def get_step(meta: StepMeta):
+        key = (meta.guided, meta.cutn)
+        if key not in _step_cache:
+            guidance = guidance_builder(meta) if meta.guided else None
+            _step_cache[key] = jax.jit(make_guided_step(
+                diffusion, model_fn, guidance, cfg, with_log=loss_sink is not None
+            ))
+        return _step_cache[key]
+
     def build_seg_fn(meta: StepMeta):
-        guidance = guidance_builder(meta) if meta.guided else None
-        step = make_guided_step(
-            diffusion, model_fn, guidance, cfg, with_log=loss_sink is not None
-        )
+        step = get_step(meta)
 
         emit_images = image_sink is not None and meta.guided
 
@@ -484,26 +538,6 @@ def sample_loop(
             # it re-specializes transparently like the lazy path always did
             scan_cache[meta_key] = build_seg_fn(seg[0])
             return scan_cache[meta_key](params, x, y, rng, ts, ref_ts, nz, *extra)
-
-    # build the segment list up front (pure python) so per-segment RNG keys
-    # can be split in ONE device op — eager splits inside the loop would cost
-    # a remote round trip per segment on tunneled TPU backends
-    segments = []
-    k = 0
-    n = len(plan)
-    while k < n:
-        seg = [plan[k]]
-        j = k + 1
-        while (
-            j < n
-            and plan[j].guided == plan[k].guided
-            and plan[j].cutn == plan[k].cutn
-            and (j - 1) not in save_at  # previous step was not a save point
-        ):
-            seg.append(plan[j])
-            j += 1
-        segments.append((k, seg))
-        k = j
 
     seg_keys = jax.random.split(rng, max(len(segments), 1))
 

@@ -120,6 +120,35 @@ class TestForward:
         assert out.dtype == jnp.float32
         assert bool(jnp.isfinite(out).all())
 
+    def test_partial_remat_grad_parity_and_engagement(self):
+        """remat_min_dim (r5 partial-remat policy rung): gradients must be
+        IDENTICAL to no-remat (checkpointing changes scheduling, not math),
+        and jax.checkpoint must actually engage — only for layers at or
+        above the spatial threshold."""
+        cfg = tiny_cfg()
+        params = init_unet(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        t = jnp.array([5.0])
+
+        def loss(p, md):
+            out = apply_unet(p, cfg, x, t, None, remat_min_dim=md)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g_off = jax.grad(lambda p: loss(p, None))(params)
+        g_partial = jax.grad(lambda p: loss(p, 32))(params)
+        for a, b in zip(jax.tree.leaves(g_off), jax.tree.leaves(g_partial)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+        # engagement: the remat primitive appears iff a layer clears the bar
+        jx_off = str(jax.make_jaxpr(lambda p: loss(p, None))(params))
+        jx_on = str(jax.make_jaxpr(lambda p: loss(p, 32))(params))
+        jx_above = str(jax.make_jaxpr(lambda p: loss(p, 64))(params))
+        assert "remat" not in jx_off
+        assert "remat" in jx_on
+        assert "remat" not in jx_above, (
+            "threshold above every layer's spatial dim must checkpoint nothing"
+        )
+
     def test_non_square(self):
         # height/width offsets must be multiples of the total downsample factor
         cfg = tiny_cfg()
