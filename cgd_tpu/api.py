@@ -157,25 +157,45 @@ def _image_prompt_encoder(clip_cfg, strict_parity: bool):
 def _resolve_remat(image_size: int, batch_size: int, num_cutouts: int) -> bool:
     """Should the UNet forward rematerialize under the guidance gradient?
 
-    No-remat is 21% faster at the 512px product operating point (b=1,
-    cutn<=16, RN50x16): the whole-UNet `jax.checkpoint` re-runs every
-    forward conv during the backward (the r4 512px profile showed exact
-    jvp/remat twin pairs — 158.4 -> 125.1 ms/step without them), and the
-    saved activations fit comfortably at b=1 (memory A/B in PERF.md).
-    Larger batches/cutout counts at >=512px keep the conservative remat:
-    activation memory scales linearly with both and only b=1 x cutn16 is
-    measured safe — b=2 no-remat FITS statically (10.35 GiB temp of 16 GiB)
-    but measured a pathological 20 s/step on the tunneled v5e (~60x;
-    suspected HBM-pressure buffer paging), so "fits" is not "fast": the
-    envelope is measured, not derived. <512px never remats (r2 behavior).
+    Not anywhere in the measured envelope. The r5 512px RN50x16 grid
+    (PERF.md r5, tools/profile_step.py --time-only; steady ms/step,
+    memory_analysis temp of the 16 GiB v5e) measured no-remat fastest at
+    EVERY operating point that statically fits, with linear batch scaling
+    and no memory cliff:
+
+        b=1 cutn16  off 135.5 ms/step                      temp  5.3 GiB
+        b=1 cutn32  off 181.9                              temp  8.3
+        b=2 cutn16  off 270.6  full 338.6  hires ~301      temp 10.4
+        b=4 cutn16  off 565.1  full 666.7                  temp 13.2
+
+    The r4 gate kept whole-UNet remat at b>1/cutn>16 because ONE probe
+    measured 20.2 s/step at b=2 no-remat; three r5 repeats measured
+    ~270 ms/step, so that point is pinned as a transient backend
+    condition, not a property of the graph. Whole-UNet remat costs 20-25%
+    step time (the backward re-runs every forward conv), partial remat
+    (apply_unet remat_min_dim) is strictly dominated (slower than off,
+    saves little memory), and at b=4 even full remat saves almost nothing
+    (12.9 vs 13.2 GiB temp — XLA's scheduler already rematerializes what
+    it must). The gate therefore engages only BEYOND the measured
+    envelope — b>4, or cutn>32, or b>1 combined with cutn>16 — where
+    nothing is measured and whole-UNet remat is the conservative choice.
+    <512px never remats (r2 behavior).
 
     `CGD_TPU_REMAT=0/1` forces either mode; the resolved decision is part
-    of `run_meta`, so a checkpoint/resume pair always replays with the
-    same graph (bit-exact continuation)."""
+    of `run_meta`, and a resume adopts the checkpoint's RECORDED decision
+    (see clip_guided_diffusion), so a gate-policy change between releases
+    can't make old checkpoints unresumable and a checkpoint/resume pair
+    always replays the same graph (bit-exact continuation)."""
     env = os.environ.get("CGD_TPU_REMAT", "").strip()
     if env in ("0", "1"):
         return env == "1"
-    return image_size >= 512 and (batch_size > 1 or num_cutouts > 16)
+    if image_size < 512:
+        return False
+    if num_cutouts <= 16:
+        return batch_size > 4  # b<=4 x cutn<=16: measured fitting + fastest
+    if batch_size == 1:
+        return num_cutouts > 32  # b=1 x cutn<=32: measured fitting + fastest
+    return True  # unmeasured corner (b>1 AND cutn>16): conservative
 
 
 _SEG_CACHES: "OrderedDict[str, dict]" = __import__("collections").OrderedDict()
@@ -498,6 +518,20 @@ def clip_guided_diffusion(
             return _unsharded_model_fn(params, x, t_model, r, y)
 
     use_remat = _resolve_remat(image_size, batch_size, num_cutouts)
+    if resume_from:
+        # honor the checkpoint's RECORDED graph decision: the value is in
+        # run_meta precisely so the resumed process replays the same graph,
+        # and adopting it here means a gate-policy change between releases
+        # (r4 -> r5 opened the 512px no-remat envelope) can't make old
+        # checkpoints unresumable. Pre-r4 checkpoints lack the key: they
+        # were written under the r3 rule (remat at >=512px).
+        try:
+            import json as _json_peek
+
+            _saved_meta = _json_peek.loads(str(np.load(resume_from)["meta"]))
+            use_remat = bool(_saved_meta.get("unet_remat", image_size >= 512))
+        except Exception:
+            pass  # unreadable checkpoints fail loudly at the resume guard
     if use_remat:
         # the guidance gradient backprops through the UNet; rematerialize
         # the forward (FLOPs for memory) only when the saved activations

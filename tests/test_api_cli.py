@@ -690,20 +690,56 @@ class TestCheckpointResumeAPI:
         assert resumed  # legacy checkpoint accepted and run completed
 
 
+class TestResumeAdoptsRecordedRemat:
+    @pytest.mark.slow
+    def test_resume_replays_checkpoints_remat_decision(self, tmp_path, monkeypatch):
+        """A checkpoint written under CGD_TPU_REMAT=1 must resume in a
+        process where the env is unset and the auto gate says no-remat: the
+        resume adopts the RECORDED decision (replaying the same graph)
+        instead of refusing with 'different run configuration'. This is what
+        keeps checkpoints resumable across gate-policy changes (r4 -> r5
+        opened the 512px no-remat envelope)."""
+        from cgd_tpu.api import clip_guided_diffusion
+
+        common = dict(
+            prompts=["remat adopt"], image_size=64,
+            timestep_respacing="ddim6", num_cutouts=2, save_frequency=3,
+            weights_mode="random", progress=False, seed=9,
+        )
+        ck = str(tmp_path / "state.npz")
+        monkeypatch.setenv("CGD_TPU_REMAT", "1")
+        gen = clip_guided_diffusion(
+            **common, prefix_path=tmp_path / "part", checkpoint_path=ck
+        )
+        next(gen)
+        gen.close()
+        monkeypatch.delenv("CGD_TPU_REMAT")
+
+        resumed = list(clip_guided_diffusion(
+            **common, prefix_path=tmp_path / "res", resume_from=ck
+        ))
+        assert resumed  # adopted the recorded remat=1 graph and completed
+
+
 class TestRematGate:
-    """api._resolve_remat — no-remat is 21% faster at the 512px product
-    point and fits HBM at b=1/cutn16 (PERF.md r4 512px profile); bigger
-    batches/cutout counts keep the conservative remat."""
+    """api._resolve_remat — the r5 512px grid measured no-remat fastest at
+    every point that statically fits (b<=4 x cutn16, b=1 x cutn32; linear
+    scaling, no cliff — the r4 20 s/step probe did not reproduce over three
+    repeats); remat engages only beyond the measured envelope."""
 
     def test_auto_rule(self, monkeypatch):
         from cgd_tpu.api import _resolve_remat
 
         monkeypatch.delenv("CGD_TPU_REMAT", raising=False)
         assert not _resolve_remat(256, 1, 16)   # <512px never remats
-        assert not _resolve_remat(512, 1, 16)   # measured-safe envelope
-        assert _resolve_remat(512, 2, 16)       # batch doubles activations
-        assert _resolve_remat(512, 1, 32)       # so does the cutout batch
-        assert not _resolve_remat(256, 4, 64)   # still <512px
+        assert not _resolve_remat(512, 1, 16)   # measured: 135.5 ms/step
+        assert not _resolve_remat(512, 2, 16)   # measured: 270.6 (3 repeats)
+        assert not _resolve_remat(512, 4, 16)   # measured: 565.1, 13.2 GiB
+        assert not _resolve_remat(512, 1, 32)   # measured: 181.9, 8.3 GiB
+        assert _resolve_remat(512, 5, 16)       # beyond the measured grid
+        assert _resolve_remat(512, 1, 33)       # beyond the measured grid
+        assert _resolve_remat(512, 2, 17)       # unmeasured corner: b>1+cutn>16
+        assert not _resolve_remat(256, 8, 64)   # still <512px
 
     def test_env_override(self, monkeypatch):
         from cgd_tpu.api import _resolve_remat
