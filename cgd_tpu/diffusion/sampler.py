@@ -420,26 +420,18 @@ def sample_loop(
         )
         return ts, ref_ts, nz, (tps, fis)
 
-    # Trace-sharing across segment signatures: signatures differ only in
-    # scan LENGTH — the step body is identical for equal (guided, cutn) —
-    # so jit the inner step once per (guided, cutn) and let every
-    # signature's outer trace reuse its cached jaxpr instead of re-tracing
-    # the whole UNet+CLIP+VJP body (the 256px body re-trace costs ~4-5 s
-    # per extra signature; measured table in PERF.md r5 / tools/trace_time.py).
-    # XLA inlines the inner call during compilation — device code unchanged.
-    _step_cache: dict = {}
-
-    def get_step(meta: StepMeta):
-        key = (meta.guided, meta.cutn)
-        if key not in _step_cache:
-            guidance = guidance_builder(meta) if meta.guided else None
-            _step_cache[key] = jax.jit(make_guided_step(
-                diffusion, model_fn, guidance, cfg, with_log=loss_sink is not None
-            ))
-        return _step_cache[key]
-
     def build_seg_fn(meta: StepMeta):
-        step = get_step(meta)
+        # NOTE (r5 measured negative, tools/trace_time.py --no-share A/B):
+        # jit-wrapping this inner step to share its traced jaxpr across
+        # segment signatures does NOT cut first-run host cost — tracing is
+        # shared but MLIR lowering of the inner pjit is redone per outer
+        # module, and lowering dominates (256px: 12.9 s plain vs 13.7 s
+        # shared; 512px: 18.3 vs 19.6). Cross-RUN reuse is the real lever
+        # (seg_cache above: zero re-trace for a repeat-config generation).
+        guidance = guidance_builder(meta) if meta.guided else None
+        step = make_guided_step(
+            diffusion, model_fn, guidance, cfg, with_log=loss_sink is not None
+        )
 
         emit_images = image_sink is not None and meta.guided
 

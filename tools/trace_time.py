@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--cutn", type=int, default=16)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--clip", default=None)
+    ap.add_argument("--share", action="store_true",
+                    help="jit the inner step once per (guided, cutn) so its "
+                         "traced jaxpr is shared across signatures — measured "
+                         "NEGATIVE (lowering of the inner pjit is redone per "
+                         "module and dominates; PERF.md r5), kept for the A/B")
     args = ap.parse_args()
 
     import jax
@@ -109,13 +114,20 @@ def main():
     f32 = lambda s: jax.ShapeDtypeStruct(s, jnp.float32)
     total = 0.0
     rows = []
-    step_cache = {}  # mirrors sample_loop.get_step's (guided, cutn) sharing
+    step_cache = {}  # --share experimental arm (measured negative)
     for (seg_len, guided, cutn), seg in sorted(distinct.items()):
-        if (guided, cutn) not in step_cache:
-            step_cache[(guided, cutn)] = jax.jit(make_guided_step(
+        if not args.share:
+            # the product behavior (sample_loop.build_seg_fn): a plain step
+            # inlined into every signature's outer trace
+            step = make_guided_step(
                 diffusion, model_fn, builder(seg[0]) if guided else None, cfg
-            ))
-        step = step_cache[(guided, cutn)]
+            )
+        else:
+            if (guided, cutn) not in step_cache:
+                step_cache[(guided, cutn)] = jax.jit(make_guided_step(
+                    diffusion, model_fn, builder(seg[0]) if guided else None, cfg
+                ))
+            step = step_cache[(guided, cutn)]
 
         # mirrors sample_loop.build_seg_fn's carry/scan structure (no sinks)
         def seg_fn(params, x, y, rng, ts, ref_ts):
