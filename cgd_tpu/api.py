@@ -726,7 +726,10 @@ def clip_guided_diffusion(
     # executables built with a live callback must not outlive their run —
     # give those a private cache. The segment-boundary loss_sink/image_sink
     # paths are consumed OUTSIDE the jit (per-call) and stay shareable.
-    seg_cache = _seg_cache_for(seg_key) if loss_cb is None else {}
+    # CGD_TPU_SEG_CACHE=0 gives every run a private cache (pre-r5 behavior);
+    # kept as the control arm for the serving-throughput A/B (PERF.md r5).
+    reuse_ok = loss_cb is None and os.environ.get("CGD_TPU_SEG_CACHE") != "0"
+    seg_cache = _seg_cache_for(seg_key) if reuse_ok else {}
 
     # Mid-run sampling-state checkpointing (beyond the reference): the
     # sampler's per-segment RNG keys derive only from the seed, so saving

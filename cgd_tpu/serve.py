@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import tempfile
 import threading
@@ -35,6 +36,13 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 _DEVICE_LOCK = threading.Lock()  # one TPU context: serialize sampling only
 _INFLIGHT = threading.Semaphore(3)  # 1 sampling + up to 2 in host prep
+
+
+def _pipelined() -> bool:
+    """CGD_TPU_SERVE_PIPELINE=0 restores the pre-r5 whole-request
+    serialization (one lock around prep + sampling); the control arm of the
+    serving-throughput A/B (PERF.md r5)."""
+    return os.environ.get("CGD_TPU_SERVE_PIPELINE") != "0"
 
 ALLOWED_KWARGS = {
     "image_size", "num_cutouts", "clip_guidance_scale", "tv_scale", "range_scale",
@@ -47,7 +55,8 @@ ALLOWED_KWARGS = {
 }
 
 
-def _generate(payload: dict, weights_mode: str, stall_pet=None, mesh=None):
+def _generate(payload: dict, weights_mode: str, stall_pet=None, mesh=None,
+              device_lock=_DEVICE_LOCK):
     """Run one generation; returns (final_frame_path, scratch_dir). The
     caller owns the scratch dir and removes it once the frame is read —
     a long-running daemon must not accumulate per-request temp trees."""
@@ -69,7 +78,7 @@ def _generate(payload: dict, weights_mode: str, stall_pet=None, mesh=None):
             weights_mode=weights_mode,
             stall_pet=stall_pet,
             mesh=mesh,
-            device_lock=_DEVICE_LOCK,
+            device_lock=device_lock,
             **kwargs,
         )
         for _b, path in gen:
@@ -121,9 +130,16 @@ class Handler(BaseHTTPRequestHandler):
                 from cgd_tpu.utils.watchdog import StallDetector
 
                 with StallDetector(self.stall_timeout, exit_on_stall=True) as dog:
-                    frame, scratch = _generate(
-                        payload, self.weights_mode, stall_pet=dog.pet, mesh=self.mesh
-                    )
+                    if _pipelined():
+                        frame, scratch = _generate(
+                            payload, self.weights_mode, stall_pet=dog.pet, mesh=self.mesh
+                        )
+                    else:  # control arm: serialize host prep too
+                        with _DEVICE_LOCK:
+                            frame, scratch = _generate(
+                                payload, self.weights_mode, stall_pet=dog.pet,
+                                mesh=self.mesh, device_lock=None,
+                            )
             try:
                 if frame is None:
                     raise RuntimeError("no frame produced")
@@ -182,6 +198,14 @@ def main(argv=None):
                          "request is a cache hit, not a ~4.5 min cold compile "
                          "(PERF.md cold-start)")
     args = ap.parse_args(argv)
+    if os.environ.get("CGD_TPU_FORCE_CPU"):
+        # Must land before the first backend touch. JAX_PLATFORMS in the env
+        # is NOT honored here (sitecustomize registers the axon TPU plugin at
+        # interpreter start) — the config.update path wins. Used by the CPU
+        # self-test arm of tools/serve_throughput.py and for off-tunnel runs.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     Handler.weights_mode = args.weights_mode
     Handler.stall_timeout = args.stall_timeout
     if args.mesh:

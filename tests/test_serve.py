@@ -109,6 +109,24 @@ class TestServe:
         for data in results.values():
             assert data[:8] == b"\x89PNG\r\n\x1a\n"
 
+    @pytest.mark.slow
+    def test_control_arm_serializes_whole_request(self, server, monkeypatch):
+        """CGD_TPU_SERVE_PIPELINE=0 (the serving-throughput A/B control arm,
+        tools/serve_throughput.py) restores the pre-r5 whole-request lock and
+        must still serve correctly."""
+        monkeypatch.setenv("CGD_TPU_SERVE_PIPELINE", "0")
+        req = urllib.request.Request(
+            f"{server}/generate",
+            data=json.dumps({
+                "prompt": "control arm", "image_size": 64,
+                "timestep_respacing": "ddim6", "num_cutouts": 2,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            data = r.read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
     def test_new_prompt_same_config_is_same_hlo(self):
         """Serving-critical (r5): prompt target embeddings travel in the
         params pytree, so two different prompts at the same config lower to
