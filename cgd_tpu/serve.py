@@ -9,6 +9,12 @@ deployment on TPU VMs:
     POST /generate {"prompt": "...", "image_size": 256,
                     "timestep_respacing": "ddim250", ...any api kwarg}
       -> image/png (the final frame)
+    POST /generate {"prompt": "...", "stream": true, ...}
+      -> multipart/x-mixed-replace stream: one image/png part per saved
+         frame as sampling produces it (save_frequency controls cadence,
+         default 25 when streaming — the API's progress-frame default), a
+         final application/json part on mid-run error, then the terminal
+         boundary. Clients watch the image converge instead of polling.
     GET  /healthz  -> {"status": "ok", "backend": "tpu", "devices": N}
 
 Pipelined execution (r5): only the DEVICE-heavy sampling phase is
@@ -91,6 +97,42 @@ def _generate(payload: dict, weights_mode: str, stall_pet=None, mesh=None,
         raise
 
 
+def _generate_frames(payload: dict, weights_mode: str, stall_pet=None,
+                     mesh=None, device_lock=_DEVICE_LOCK):
+    """Yield (batch_idx, png_bytes) per saved frame as sampling produces
+    them (the streaming counterpart of _generate). The scratch dir lives
+    only while the generator is open; closing it — normally or via an
+    abandoned stream — removes the tree."""
+    from cgd_tpu.api import clip_guided_diffusion
+
+    prompt = payload.get("prompt", "")
+    if not prompt:
+        raise ValueError("missing 'prompt'")
+    kwargs = {k: v for k, v in payload.items() if k in ALLOWED_KWARGS}
+    out_dir = tempfile.mkdtemp(prefix="cgd_serve_")
+    try:
+        gen = clip_guided_diffusion(
+            prompts=prompt.split("|"),
+            prefix_path=out_dir,
+            # streaming wants progress frames, not just the final one
+            save_frequency=payload.get("save_frequency", 25),
+            progress=False,
+            weights_mode=weights_mode,
+            stall_pet=stall_pet,
+            mesh=mesh,
+            device_lock=device_lock,
+            **kwargs,
+        )
+        for batch_idx, path in gen:
+            with open(path, "rb") as f:
+                yield batch_idx, f.read()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+STREAM_BOUNDARY = "cgdframe"
+
+
 class Handler(BaseHTTPRequestHandler):
     weights_mode = "auto"
     stall_timeout = 0.0  # seconds; armed per in-flight request (idle is not a stall)
@@ -121,6 +163,9 @@ class Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
+            if payload.get("stream"):
+                self._stream_generate(payload)
+                return
             with _INFLIGHT:  # bound burst prep memory; sampling itself is
                 # serialized by _DEVICE_LOCK inside the generator, so this
                 # request's host prep overlaps the in-flight device scan.
@@ -159,6 +204,57 @@ class Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+    def _stream_generate(self, payload: dict):
+        """`"stream": true`: multipart/x-mixed-replace, one image/png part
+        per saved frame. Request-shape errors (missing prompt) still get a
+        clean 400 — they raise before headers are sent; a mid-run failure
+        after frames have flowed becomes a final application/json part so
+        the client can tell "finished" from "died"."""
+        if not payload.get("prompt"):
+            raise ValueError("missing 'prompt'")
+        import contextlib
+
+        from cgd_tpu.utils.watchdog import StallDetector
+
+        b = STREAM_BOUNDARY
+        with _INFLIGHT:
+            with StallDetector(self.stall_timeout, exit_on_stall=True) as dog:
+                if _pipelined():
+                    lock_ctx, gen_lock = contextlib.nullcontext(), _DEVICE_LOCK
+                else:  # control arm: serialize host prep too
+                    lock_ctx, gen_lock = _DEVICE_LOCK, None
+                with lock_ctx:
+                    frames = _generate_frames(
+                        payload, self.weights_mode, stall_pet=dog.pet,
+                        mesh=self.mesh, device_lock=gen_lock,
+                    )
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        f"multipart/x-mixed-replace; boundary={b}",
+                    )
+                    self.end_headers()
+                    try:
+                        for batch_idx, png in frames:
+                            self.wfile.write(
+                                f"--{b}\r\n"
+                                f"Content-Type: image/png\r\n"
+                                f"Content-Length: {len(png)}\r\n"
+                                f"X-Frame-Batch: {batch_idx}\r\n\r\n".encode()
+                                + png + b"\r\n"
+                            )
+                            self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        return  # client went away; generator close cleans up
+                    except Exception as e:
+                        err = json.dumps({"error": str(e)}).encode()
+                        self.wfile.write(
+                            f"--{b}\r\nContent-Type: application/json\r\n"
+                            f"Content-Length: {len(err)}\r\n\r\n".encode()
+                            + err + b"\r\n"
+                        )
+                    self.wfile.write(f"--{b}--\r\n".encode())
 
 
 def run_warmup(specs_args, mesh=None):

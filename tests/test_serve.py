@@ -110,6 +110,46 @@ class TestServe:
             assert data[:8] == b"\x89PNG\r\n\x1a\n"
 
     @pytest.mark.slow
+    def test_stream_frames(self, server):
+        """`"stream": true` returns a multipart/x-mixed-replace stream with
+        one image/png part per saved frame (save_frequency cadence) and a
+        terminal boundary — clients watch the image converge instead of
+        polling for the final frame."""
+        req = urllib.request.Request(
+            f"{server}/generate",
+            data=json.dumps({
+                "prompt": "stream test", "image_size": 64,
+                "timestep_respacing": "ddim6", "num_cutouts": 2,
+                "stream": True, "save_frequency": 2,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            ctype = r.headers["Content-Type"]
+            body = r.read()
+        assert ctype == "multipart/x-mixed-replace; boundary=cgdframe"
+        parts = body.split(b"--cgdframe")
+        # ddim6 at save_frequency=2 -> 3 progress frames + the final frame
+        pngs = [p for p in parts if b"Content-Type: image/png" in p]
+        assert len(pngs) >= 2
+        for p in pngs:
+            payload = p.split(b"\r\n\r\n", 1)[1]
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        assert parts[-1].startswith(b"--")  # terminal boundary, no error part
+        assert not any(b"application/json" in p for p in parts)
+
+    def test_stream_missing_prompt_is_400(self, server):
+        req = urllib.request.Request(
+            f"{server}/generate",
+            data=json.dumps({"stream": True}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        assert "prompt" in json.loads(ei.value.read())["error"]
+
+    @pytest.mark.slow
     def test_control_arm_serializes_whole_request(self, server, monkeypatch):
         """CGD_TPU_SERVE_PIPELINE=0 (the serving-throughput A/B control arm,
         tools/serve_throughput.py) restores the pre-r5 whole-request lock and
