@@ -18,8 +18,11 @@ is jitted JAX (segmented lax.scan over the respaced schedule; UNet + cutouts
 from __future__ import annotations
 
 import functools
+import json as _json
 import os
+import threading
 
+from collections import OrderedDict
 from pathlib import Path
 from typing import Iterator, List, Optional, Tuple
 
@@ -198,8 +201,17 @@ def _resolve_remat(image_size: int, batch_size: int, num_cutouts: int) -> bool:
     return True  # unmeasured corner (b>1 AND cutn>16): conservative
 
 
-_SEG_CACHES: "OrderedDict[str, dict]" = __import__("collections").OrderedDict()
+def _legacy_remat_default(image_size: int) -> bool:
+    """Remat rule for checkpoints written before 'unet_remat' joined
+    run_meta (r4): their graphs were built under the r3 rule, remat at
+    >=512px. One definition shared by the resume graph peek and the resume
+    guard so the adopted graph and the meta comparison can never drift."""
+    return image_size >= 512
+
+
+_SEG_CACHES: OrderedDict = OrderedDict()
 _SEG_CACHES_MAX = 4
+_SEG_CACHES_LOCK = threading.Lock()
 
 
 def _seg_cache_for(key: str) -> dict:
@@ -210,14 +222,18 @@ def _seg_cache_for(key: str) -> dict:
     persistent compile cache removes XLA compilation (PERF.md r5). Only
     valid because everything per-run is a jit argument: prompt targets and
     cached cutout coords ride the params pytree (r5), schedule indices and
-    RNG keys are scan inputs."""
-    cache = _SEG_CACHES.pop(key, None)
-    if cache is None:
-        cache = {}
-        while len(_SEG_CACHES) >= _SEG_CACHES_MAX:
-            _SEG_CACHES.popitem(last=False)
-    _SEG_CACHES[key] = cache
-    return cache
+    RNG keys are scan inputs. Lock-protected: the serve daemon runs several
+    handler threads through here concurrently, and an unlocked same-key race
+    would hand each thread a distinct dict — the loser's executables silently
+    dropped from the LRU."""
+    with _SEG_CACHES_LOCK:
+        cache = _SEG_CACHES.pop(key, None)
+        if cache is None:
+            cache = {}
+            while len(_SEG_CACHES) >= _SEG_CACHES_MAX:
+                _SEG_CACHES.popitem(last=False)
+        _SEG_CACHES[key] = cache
+        return cache
 
 
 @functools.lru_cache(maxsize=1)
@@ -518,18 +534,19 @@ def clip_guided_diffusion(
             return _unsharded_model_fn(params, x, t_model, r, y)
 
     use_remat = _resolve_remat(image_size, batch_size, num_cutouts)
+    resume_rec = resume_meta_d = None
     if resume_from:
         # honor the checkpoint's RECORDED graph decision: the value is in
         # run_meta precisely so the resumed process replays the same graph,
         # and adopting it here means a gate-policy change between releases
         # (r4 -> r5 opened the 512px no-remat envelope) can't make old
-        # checkpoints unresumable. Pre-r4 checkpoints lack the key: they
-        # were written under the r3 rule (remat at >=512px).
+        # checkpoints unresumable. The record and parsed meta are kept for
+        # the resume guard below — one load, one parse, one legacy rule.
         try:
-            import json as _json_peek
-
-            _saved_meta = _json_peek.loads(str(np.load(resume_from)["meta"]))
-            use_remat = bool(_saved_meta.get("unet_remat", image_size >= 512))
+            resume_rec = np.load(resume_from)
+            resume_meta_d = _json.loads(str(resume_rec["meta"]))
+            use_remat = bool(resume_meta_d.get(
+                "unet_remat", _legacy_remat_default(image_size)))
         except Exception:
             pass  # unreadable checkpoints fail loudly at the resume guard
     if use_remat:
@@ -685,8 +702,6 @@ def clip_guided_diffusion(
         init_noise = rec["init"] if "init" in rec.files else None
         noise_steps = rec["steps"] if "steps" in rec.files else None
 
-    import json as _json
-
     # Cross-generation segment-executable reuse (r5): key a process-level
     # cache of the sampler's jitted/AOT segment functions by everything a
     # segment fn CLOSES OVER (graph shape). Seed, prompt text, and image
@@ -769,20 +784,18 @@ def clip_guided_diffusion(
     }, sort_keys=True)
     state_sink = resume_state = None
     if resume_from:
-        rec = np.load(resume_from)
+        # the record + parsed meta were loaded at the remat peek above; a
+        # peek failure (missing/corrupt file) re-loads here to fail loudly
+        rec = resume_rec if resume_rec is not None else np.load(resume_from)
         saved_meta = str(rec["meta"])
-        if saved_meta != run_meta:
+        if resume_meta_d is not None and "unet_remat" not in resume_meta_d:
             # checkpoints written before the remat decision joined run_meta
-            # (r4) lack the key; their graphs used the old size>=512 rule, so
-            # a missing key is equivalent to that value — fill and recompare
+            # (r4) lack the key; their graphs used the legacy rule, so a
+            # missing key is equivalent to that value — fill and recompare
             # rather than refusing every pre-r4 checkpoint
-            try:
-                saved_d = _json.loads(saved_meta)
-                if "unet_remat" not in saved_d:
-                    saved_d["unet_remat"] = image_size >= 512
-                    saved_meta = _json.dumps(saved_d, sort_keys=True)
-            except ValueError:
-                pass
+            filled = dict(resume_meta_d)
+            filled["unet_remat"] = _legacy_remat_default(image_size)
+            saved_meta = _json.dumps(filled, sort_keys=True)
         if saved_meta != run_meta:
             raise ValueError(
                 "resume_from checkpoint was written by a different run "

@@ -313,11 +313,15 @@ def apply_unet(
     nxt_rng = (lambda: next(rngs)) if rngs is not None else (lambda: None)
 
     def run_layer(p, spec, h, emb, r):
-        if remat_min_dim is not None and r is None and h.shape[1] >= remat_min_dim:
+        if remat_min_dim is not None and h.shape[1] >= remat_min_dim:
+            # the dropout rng (when threaded) rides through the checkpoint as
+            # a regular argument — the backward recompute replays the SAME
+            # key, so masks are identical and remat stays a pure memory/FLOPs
+            # trade even with dropout>0 (it used to silently disable)
             fn = jax.checkpoint(
-                lambda p_, h_, emb_: _apply_layer(p_, cfg, spec, h_, emb_, None)
+                lambda p_, h_, emb_, r_: _apply_layer(p_, cfg, spec, h_, emb_, r_)
             )
-            return fn(p, h, emb)
+            return fn(p, h, emb, r)
         return _apply_layer(p, cfg, spec, h, emb, r)
 
     for blk_params, blk_plan_ in zip(params["input"], input_plan):

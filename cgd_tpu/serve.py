@@ -15,6 +15,11 @@ deployment on TPU VMs:
          default 25 when streaming — the API's progress-frame default), a
          final application/json part on mid-run error, then the terminal
          boundary. Clients watch the image converge instead of polling.
+         Headers are sent with the FIRST frame, so pre-frame failures get
+         the same clean 400 as the plain path; sampling runs in a producer
+         thread decoupled from the client socket by a bounded frame queue,
+         so a slow reader drops intermediate frames instead of stalling
+         the device (or the daemon's other requests).
     GET  /healthz  -> {"status": "ok", "backend": "tpu", "devices": N}
 
 Pipelined execution (r5): only the DEVICE-heavy sampling phase is
@@ -35,6 +40,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import queue
 import shutil
 import tempfile
 import threading
@@ -61,32 +67,48 @@ ALLOWED_KWARGS = {
 }
 
 
-def _generate(payload: dict, weights_mode: str, stall_pet=None, mesh=None,
-              device_lock=_DEVICE_LOCK):
-    """Run one generation; returns (final_frame_path, scratch_dir). The
-    caller owns the scratch dir and removes it once the frame is read —
-    a long-running daemon must not accumulate per-request temp trees."""
+def _open_generation(payload: dict, weights_mode: str, default_save_frequency,
+                     stall_pet=None, mesh=None, device_lock=_DEVICE_LOCK):
+    """Shared request prep for both response shapes: validate the payload,
+    filter to the allowed api kwargs, create the scratch dir, construct the
+    sampling generator. Returns (generator, scratch_dir) — the caller owns
+    the dir. One definition so the final-frame and streaming paths can never
+    drift (they differ only in save_frequency default and how frames are
+    consumed)."""
     from cgd_tpu.api import clip_guided_diffusion
-    from cgd_tpu.validate import FINAL_FRAME_ONLY
 
     prompt = payload.get("prompt", "")
     if not prompt:
         raise ValueError("missing 'prompt'")
     kwargs = {k: v for k, v in payload.items() if k in ALLOWED_KWARGS}
     out_dir = tempfile.mkdtemp(prefix="cgd_serve_")
+    gen = clip_guided_diffusion(
+        prompts=prompt.split("|"),
+        prefix_path=out_dir,
+        save_frequency=payload.get("save_frequency", default_save_frequency),
+        progress=False,
+        weights_mode=weights_mode,
+        stall_pet=stall_pet,
+        mesh=mesh,
+        device_lock=device_lock,
+        **kwargs,
+    )
+    return gen, out_dir
+
+
+def _generate(payload: dict, weights_mode: str, stall_pet=None, mesh=None,
+              device_lock=_DEVICE_LOCK):
+    """Run one generation; returns (final_frame_path, scratch_dir). The
+    caller owns the scratch dir and removes it once the frame is read —
+    a long-running daemon must not accumulate per-request temp trees."""
+    from cgd_tpu.validate import FINAL_FRAME_ONLY
+
+    gen, out_dir = _open_generation(
+        payload, weights_mode, FINAL_FRAME_ONLY,
+        stall_pet=stall_pet, mesh=mesh, device_lock=device_lock,
+    )
     try:
         last = None
-        gen = clip_guided_diffusion(
-            prompts=prompt.split("|"),
-            prefix_path=out_dir,
-            save_frequency=payload.get("save_frequency", FINAL_FRAME_ONLY),
-            progress=False,
-            weights_mode=weights_mode,
-            stall_pet=stall_pet,
-            mesh=mesh,
-            device_lock=device_lock,
-            **kwargs,
-        )
         for _b, path in gen:
             last = path
         return last, out_dir
@@ -103,26 +125,11 @@ def _generate_frames(payload: dict, weights_mode: str, stall_pet=None,
     them (the streaming counterpart of _generate). The scratch dir lives
     only while the generator is open; closing it — normally or via an
     abandoned stream — removes the tree."""
-    from cgd_tpu.api import clip_guided_diffusion
-
-    prompt = payload.get("prompt", "")
-    if not prompt:
-        raise ValueError("missing 'prompt'")
-    kwargs = {k: v for k, v in payload.items() if k in ALLOWED_KWARGS}
-    out_dir = tempfile.mkdtemp(prefix="cgd_serve_")
+    gen, out_dir = _open_generation(
+        payload, weights_mode, 25,  # streaming wants progress frames
+        stall_pet=stall_pet, mesh=mesh, device_lock=device_lock,
+    )
     try:
-        gen = clip_guided_diffusion(
-            prompts=prompt.split("|"),
-            prefix_path=out_dir,
-            # streaming wants progress frames, not just the final one
-            save_frequency=payload.get("save_frequency", 25),
-            progress=False,
-            weights_mode=weights_mode,
-            stall_pet=stall_pet,
-            mesh=mesh,
-            device_lock=device_lock,
-            **kwargs,
-        )
         for batch_idx, path in gen:
             with open(path, "rb") as f:
                 yield batch_idx, f.read()
@@ -131,6 +138,54 @@ def _generate_frames(payload: dict, weights_mode: str, stall_pet=None,
 
 
 STREAM_BOUNDARY = "cgdframe"
+_STREAM_QUEUE_MAX = 32  # frames buffered ahead of a slow streaming client
+_STREAM_WRITE_TIMEOUT = 300.0  # seconds per client write before giving up
+
+
+def _offer(q, item):
+    """Non-blocking queue put: when full, drop the OLDEST buffered frame to
+    make room. multipart/x-mixed-replace semantics make this sound — each
+    part replaces the previous, so a slow client sees fewer intermediate
+    frames; the newest (ultimately the final) frame and the terminal
+    done/error item are never the ones dropped."""
+    while True:
+        try:
+            q.put_nowait(item)
+            return
+        except queue.Full:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+
+
+def _pump_frames(payload, weights_mode, stall_timeout, mesh, q):
+    """Streaming producer (runs in its own thread): drain the sampling
+    generator at DEVICE speed, pushing ('frame', png, batch_idx) items into
+    q, terminated by ('done', None, None) or ('error', exc, None). All
+    device work — and the device lock held across it (api.py) — lives here;
+    the handler thread only moves bytes to the client socket, so a slow or
+    wedged reader can never stall the chip, wedge the lock, or starve the
+    stall detector into killing the daemon."""
+    import contextlib
+
+    from cgd_tpu.utils.watchdog import StallDetector
+
+    try:
+        with StallDetector(stall_timeout, exit_on_stall=True) as dog:
+            if _pipelined():
+                lock_ctx, gen_lock = contextlib.nullcontext(), _DEVICE_LOCK
+            else:  # control arm: serialize host prep too
+                lock_ctx, gen_lock = _DEVICE_LOCK, None
+            with lock_ctx:
+                for batch_idx, png in _generate_frames(
+                    payload, weights_mode, stall_pet=dog.pet,
+                    mesh=mesh, device_lock=gen_lock,
+                ):
+                    _offer(q, ("frame", png, batch_idx))
+        _offer(q, ("done", None, None))
+    except BaseException as e:
+        _offer(q, ("error", e, None))
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -205,56 +260,61 @@ class Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(body)
 
+    def _write_part(self, boundary: str, ctype: str, body: bytes, extra: str = ""):
+        self.wfile.write(
+            f"--{boundary}\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n{extra}\r\n".encode()
+            + body + b"\r\n"
+        )
+
     def _stream_generate(self, payload: dict):
         """`"stream": true`: multipart/x-mixed-replace, one image/png part
-        per saved frame. Request-shape errors (missing prompt) still get a
-        clean 400 — they raise before headers are sent; a mid-run failure
-        after frames have flowed becomes a final application/json part so
-        the client can tell "finished" from "died"."""
-        if not payload.get("prompt"):
-            raise ValueError("missing 'prompt'")
-        import contextlib
-
-        from cgd_tpu.utils.watchdog import StallDetector
-
+        per saved frame. The 200 + multipart headers are sent when the FIRST
+        frame is ready, so EVERY pre-frame failure — missing prompt, invalid
+        kwargs, unresolvable weights — surfaces as the same clean 400 as the
+        non-stream path; a mid-run failure after frames have flowed becomes
+        a final application/json part so the client can tell "finished" from
+        "died". Sampling runs in a producer thread (_pump_frames) that never
+        touches the client socket: a slow or wedged reader costs buffered
+        intermediate frames (bounded queue, oldest dropped) and eventually
+        its own connection (_STREAM_WRITE_TIMEOUT), never device idle time,
+        the device lock, or a stall-detector daemon kill."""
         b = STREAM_BOUNDARY
+        q = queue.Queue(maxsize=_STREAM_QUEUE_MAX)
         with _INFLIGHT:
-            with StallDetector(self.stall_timeout, exit_on_stall=True) as dog:
-                if _pipelined():
-                    lock_ctx, gen_lock = contextlib.nullcontext(), _DEVICE_LOCK
-                else:  # control arm: serialize host prep too
-                    lock_ctx, gen_lock = _DEVICE_LOCK, None
-                with lock_ctx:
-                    frames = _generate_frames(
-                        payload, self.weights_mode, stall_pet=dog.pet,
-                        mesh=self.mesh, device_lock=gen_lock,
-                    )
-                    self.send_response(200)
-                    self.send_header(
-                        "Content-Type",
-                        f"multipart/x-mixed-replace; boundary={b}",
-                    )
-                    self.end_headers()
-                    try:
-                        for batch_idx, png in frames:
-                            self.wfile.write(
-                                f"--{b}\r\n"
-                                f"Content-Type: image/png\r\n"
-                                f"Content-Length: {len(png)}\r\n"
-                                f"X-Frame-Batch: {batch_idx}\r\n\r\n".encode()
-                                + png + b"\r\n"
-                            )
-                            self.wfile.flush()
-                    except (BrokenPipeError, ConnectionResetError):
-                        return  # client went away; generator close cleans up
-                    except Exception as e:
-                        err = json.dumps({"error": str(e)}).encode()
-                        self.wfile.write(
-                            f"--{b}\r\nContent-Type: application/json\r\n"
-                            f"Content-Length: {len(err)}\r\n\r\n".encode()
-                            + err + b"\r\n"
+            producer = threading.Thread(
+                target=_pump_frames,
+                args=(payload, self.weights_mode, self.stall_timeout,
+                      self.mesh, q),
+                daemon=True,
+            )
+            producer.start()
+            try:
+                kind, val, idx = q.get()
+                if kind == "error":
+                    raise val  # pre-frame failure -> do_POST's clean 400
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", f"multipart/x-mixed-replace; boundary={b}"
+                )
+                self.end_headers()
+                self.connection.settimeout(_STREAM_WRITE_TIMEOUT)
+                try:
+                    while kind == "frame":
+                        self._write_part(
+                            b, "image/png", val, f"X-Frame-Batch: {idx}\r\n"
                         )
+                        self.wfile.flush()
+                        kind, val, idx = q.get()
+                    if kind == "error":  # mid-run failure after frames flowed
+                        err = json.dumps({"error": str(val)}).encode()
+                        self._write_part(b, "application/json", err)
                     self.wfile.write(f"--{b}--\r\n".encode())
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    return  # client went away/wedged; producer finishes alone
+            finally:
+                # keep the in-flight slot until the device work really ends
+                producer.join()
 
 
 def run_warmup(specs_args, mesh=None):

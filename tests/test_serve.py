@@ -149,6 +149,74 @@ class TestServe:
         assert ei.value.code == 400
         assert "prompt" in json.loads(ei.value.read())["error"]
 
+    def test_stream_pre_frame_failure_is_400(self, server):
+        """Streaming headers are deferred until the first frame exists, so
+        ANY pre-frame failure (here: an unresolvable weights path) must be
+        an HTTP-level 400, not a 200 multipart stream whose only part is an
+        error blob (r5 review: status-code parity with the plain path)."""
+        req = urllib.request.Request(
+            f"{server}/generate",
+            data=json.dumps({
+                "prompt": "x", "stream": True,
+                "clip_model_name": "/no/such/model.pt",
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=120)
+        assert ei.value.code == 400
+
+    def test_stream_queue_drops_oldest_keeps_terminal(self):
+        """The streaming frame queue never blocks the producer: when full,
+        the OLDEST buffered frame is dropped (multipart x-mixed-replace =
+        each part replaces the previous), so the newest frame and the
+        terminal done/error item always land."""
+        import queue
+
+        from cgd_tpu.serve import _offer
+
+        q = queue.Queue(maxsize=3)
+        for i in range(5):
+            _offer(q, ("frame", bytes([i]), 0))
+        _offer(q, ("done", None, None))
+        items = [q.get_nowait() for _ in range(3)]
+        assert items[-1] == ("done", None, None)
+        assert items[-2] == ("frame", bytes([4]), 0), "newest frame survives"
+
+    def test_seg_cache_lru_thread_safe(self):
+        """_seg_cache_for is hammered from the daemon's handler threads;
+        same-key callers must all get the SAME dict (an unlocked race hands
+        the loser a fresh one, silently discarding cached executables) and
+        the LRU bound must hold."""
+        from cgd_tpu import api
+
+        old = dict(api._SEG_CACHES)
+        api._SEG_CACHES.clear()
+        try:
+            results = []
+
+            def hit(key):
+                for _ in range(200):
+                    results.append((key, id(api._seg_cache_for(key))))
+
+            threads = [
+                threading.Thread(target=hit, args=(f"k{i % 3}",))
+                for i in range(6)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            by_key = {}
+            for key, ident in results:
+                by_key.setdefault(key, set()).add(ident)
+            for key, idents in by_key.items():
+                assert len(idents) == 1, f"{key}: cache dict identity churned"
+            assert len(api._SEG_CACHES) <= api._SEG_CACHES_MAX
+        finally:
+            api._SEG_CACHES.clear()
+            api._SEG_CACHES.update(old)
+
     @pytest.mark.slow
     def test_control_arm_serializes_whole_request(self, server, monkeypatch):
         """CGD_TPU_SERVE_PIPELINE=0 (the serving-throughput A/B control arm,

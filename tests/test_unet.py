@@ -149,6 +149,28 @@ class TestForward:
             "threshold above every layer's spatial dim must checkpoint nothing"
         )
 
+    def test_partial_remat_engages_with_dropout_rng(self):
+        """The dropout rng rides THROUGH jax.checkpoint as a regular
+        argument: remat_min_dim must still engage when rng is threaded
+        (it used to silently disable — the knob became a no-op for any
+        dropout-enabled model), and the recompute replays the same key so
+        the output is identical to the no-remat graph."""
+        cfg = tiny_cfg(dropout=0.1)
+        params = init_unet(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        t = jnp.array([5.0])
+        rng = jax.random.PRNGKey(7)
+
+        def fwd(p, md):
+            return apply_unet(p, cfg, x, t, None, rng=rng, remat_min_dim=md)
+
+        jx_on = str(jax.make_jaxpr(lambda p: fwd(p, 32))(params))
+        assert "remat" in jx_on, "rng-threaded layers must still checkpoint"
+        np.testing.assert_allclose(
+            np.asarray(fwd(params, 32)), np.asarray(fwd(params, None)),
+            atol=1e-5,
+        )
+
     def test_non_square(self):
         # height/width offsets must be multiples of the total downsample factor
         cfg = tiny_cfg()
