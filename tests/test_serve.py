@@ -183,6 +183,48 @@ class TestServe:
         assert items[-1] == ("done", None, None)
         assert items[-2] == ("frame", bytes([4]), 0), "newest frame survives"
 
+    @pytest.mark.slow
+    def test_plain_request_completes_behind_wedged_stream(self, server):
+        """A streaming client that sends its request and then NEVER reads the
+        response body must not wedge the daemon: sampling runs in a producer
+        thread decoupled from the client socket by the bounded frame queue,
+        so the device lock is released at device speed and a concurrent
+        plain request completes normally (r5 review: the pre-fix handler
+        wrote frames to the client socket while holding the device lock —
+        one wedged reader stalled the chip for every request)."""
+        import socket
+        from urllib.parse import urlparse
+
+        u = urlparse(server)
+        payload = json.dumps({
+            "prompt": "wedged stream", "image_size": 64,
+            "timestep_respacing": "ddim6", "num_cutouts": 2,
+            "stream": True, "save_frequency": 2,
+        }).encode()
+        wedged = socket.create_connection((u.hostname, u.port), timeout=30)
+        try:
+            wedged.sendall(
+                b"POST /generate HTTP/1.1\r\n"
+                + f"Host: {u.hostname}:{u.port}\r\n".encode()
+                + b"Content-Type: application/json\r\n"
+                + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+                + payload
+            )
+            # never read from `wedged`; the plain request must still finish
+            req = urllib.request.Request(
+                f"{server}/generate",
+                data=json.dumps({
+                    "prompt": "behind the wedge", "image_size": 64,
+                    "timestep_respacing": "ddim6", "num_cutouts": 2,
+                }).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                data = r.read()
+            assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        finally:
+            wedged.close()
+
     def test_seg_cache_lru_thread_safe(self):
         """_seg_cache_for is hammered from the daemon's handler threads;
         same-key callers must all get the SAME dict (an unlocked race hands
