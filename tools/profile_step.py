@@ -11,9 +11,16 @@ Usage: python tools/profile_step.py [--size 256] [--cutn 16] [--steps 4]
 import argparse
 import glob
 import json
+import os
 import sys
 sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import time
+
+# The tensorboard_plugin_profile / tsl xplane protos are generated with an
+# older protoc than this box's C++ protobuf runtime accepts ("Descriptors
+# cannot be created directly"); the pure-Python implementation parses them
+# fine. Must land before the first google.protobuf import.
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 import jax
 import jax.numpy as jnp
@@ -164,18 +171,33 @@ def main():
     try:
         from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
 
-        data, _ = rtd.xspace_to_tool_data([planes[-1]], "hlo_stats^", {})
+        try:
+            data, _ = rtd.xspace_to_tool_data([planes[-1]], "hlo_stats^", {})
+        except Exception as e:
+            log(f"hlo_stats failed ({e}); trying op_stats")
+            data, _ = rtd.xspace_to_tool_data(
+                [planes[-1]], "framework_op_stats^", {}
+            )
+        out = json.loads(data) if isinstance(data, (str, bytes)) else data
+        # hlo_stats is a gviz table json; print top rows by self time
+        print(json.dumps(out)[:400], file=sys.stderr)
+        with open("/tmp/cgd_profile/hlo_stats.json", "w") as f:
+            f.write(data if isinstance(data, str) else json.dumps(out))
+        log("wrote /tmp/cgd_profile/hlo_stats.json")
     except Exception as e:
-        log(f"hlo_stats failed ({e}); trying op_stats")
-        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+        # the plugin converters break whenever protobuf was already imported
+        # with the C++ implementation (descriptor-version skew); the in-repo
+        # xplane parser in a FRESH process (env honored at import) always
+        # works — same per-category table PERF.md uses
+        log(f"plugin converters unavailable ({e}); using tools/xplane_stats.py")
+        import subprocess
 
-        data, _ = rtd.xspace_to_tool_data([planes[-1]], "framework_op_stats^", {})
-    out = json.loads(data) if isinstance(data, (str, bytes)) else data
-    # hlo_stats is a gviz table json; print top rows by self time
-    print(json.dumps(out)[:400], file=sys.stderr)
-    with open("/tmp/cgd_profile/hlo_stats.json", "w") as f:
-        f.write(data if isinstance(data, str) else json.dumps(out))
-    log("wrote /tmp/cgd_profile/hlo_stats.json")
+        env = dict(os.environ, PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION="python")
+        subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "xplane_stats.py"),
+             args.trace_dir, "--steps", str(args.steps), "--top", str(args.top)],
+            env=env, check=False,
+        )
 
 
 if __name__ == "__main__":

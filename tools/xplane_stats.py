@@ -13,7 +13,12 @@ Usage:
 import argparse
 import collections
 import glob
+import os
 import sys
+
+# the tsl xplane protos predate this box's C++ protobuf runtime; the
+# pure-Python implementation parses them (must land before google.protobuf)
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
 def load_xplane(path):
